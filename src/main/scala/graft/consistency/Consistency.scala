@@ -1,0 +1,191 @@
+package graft.consistency
+
+import graft.model.{NER, Relations, SlotFill}
+import graft.nlp.{Coref, Gazetteers}
+
+/**
+ * Consistency filters & rewrites X1-X18 (SURVEY.md §2.8), the relational
+ * heart of the reference's evaluate/ package:
+ * SlotfillPostProcessor.java:17-195 (composition),
+ * HeuristicSlotfillPostProcessors.java (the individual checks),
+ * WorldKnowledgePostProcessor.java (geo).
+ *
+ * Two passes, mirroring the reference's unary + global split
+ * (SimpleSlotFiller.java:286-309, InferentialSlotFiller.java:143-161):
+ *  - `unary`: per-fill filter/rewrite — embarrassingly parallel, row-local.
+ *  - `entityPass`: pairwise / hold-one-out checks within one entity's fill
+ *    set — a pure Seq->Seq function applied per entity partition
+ *    (groupByKey(subj) upstream); groups are small by construction, hot
+ *    entities are bounded by the argmax/dedup semantics themselves.
+ */
+object Consistency {
+
+  private val deathLocPreds = Set("per:city_of_death",
+    "per:stateorprovince_of_death", "per:country_of_death")
+  private val countryPreds = Set("per:country_of_birth",
+    "per:country_of_death", "per:countries_of_residence",
+    "org:country_of_headquarters")
+  private val datePredsNoYearOk = Set("per:date_of_death", "org:dissolved")
+
+  /** Character 4-gram overlap used by FilterUnrelatedURL
+   *  (HeuristicSlotfillPostProcessors.java:255-295). */
+  def ngramOverlap(a: String, b: String, n: Int = 4): Boolean = {
+    val la = a.toLowerCase.filter(_.isLetterOrDigit)
+    val lb = b.toLowerCase.filter(_.isLetterOrDigit)
+    if (la.length < n || lb.length < n) false
+    else la.sliding(n).exists(g => lb.contains(g))
+  }
+
+  /** X1, X2, X4, X5, X7, X12-unary: per-fill validate-and-rewrite.
+   *  Returns None to kill the fill. */
+  def unaryOne(f: SlotFill): Option[SlotFill] = {
+    val meta = Relations.byName.get(f.pred)
+    if (meta.isEmpty) return None
+    val m = meta.get
+    // X2 RespectRelationTypes (:45-86)
+    if (m.entityType != f.subj_type) return None
+    if (!m.validSlotTypes.contains(f.obj_type)) return None
+    // X7 FilterVeryLowProbabilitySlots (:137-143)
+    if (f.score < 0.01) return None
+    // X4 SanityCheckFilter (:146-162)
+    if (f.obj.length > 80) return None
+    if (f.obj.equalsIgnoreCase(f.subj)) return None
+    if (f.pred == "per:age") {
+      val age = f.obj.takeWhile(_.isDigit)
+      if (age.isEmpty) return None
+      val a = age.toLong
+      if (a <= 0 || a > 125) return None
+    }
+    var fill = f
+    // X5 ConformToGuidelines (:165-248): date fills must carry a 4-digit
+    // year (except death/dissolved); pad partial timex values
+    if (m.isDateRelation) {
+      val o = fill.obj
+      val padded =
+        if (o.matches("\\d{4}")) o + "-XX-XX"
+        else if (o.matches("\\d{4}-\\d{2}")) o + "-XX"
+        else o
+      fill = fill.copy(obj = padded)
+      val hasYear = padded.matches("\\d{4}.*")
+      if (!hasYear && !datePredsNoYearOk.contains(fill.pred)) return None
+      if (padded.contains("/") || padded.toLowerCase.contains(" to "))
+        return None // no ranges
+    }
+    // X12 unary rewrite: nationality adjective -> country name for country
+    // relations (WorldKnowledgePostProcessor canonical renames :56-111)
+    if (countryPreds.contains(fill.pred))
+      Gazetteers.nationalities.get(fill.obj).foreach { c =>
+        fill = fill.copy(obj = c, obj_type = NER.COUNTRY)
+      }
+    // per:origin: nationality kept as-is (valid fill type)
+    // X1 FilterUnrelatedURL (:255-295)
+    if (fill.pred == "org:website") {
+      val base = fill.obj.replaceAll("^(https?://[^/]+).*$", "$1")
+      fill = fill.copy(obj = base)
+      if (!ngramOverlap(fill.subj, fill.obj)) return None
+    }
+    Some(fill)
+  }
+
+  /** KBPSlotFill.compareTo ordering (common/KBPSlotFill.java:58-80):
+   *  score desc, longer slot value, longer entity name, lexicographic. */
+  val fillOrdering: Ordering[SlotFill] = Ordering.fromLessThan { (a, b) =>
+    if (a.score != b.score) a.score > b.score
+    else if (a.obj.length != b.obj.length) a.obj.length > b.obj.length
+    else if (a.subj.length != b.subj.length) a.subj.length > b.subj.length
+    else {
+      val c = (a.pred + a.obj).compareTo(b.pred + b.obj)
+      c < 0
+    }
+  }
+
+  /** X13-X18 + X12-pairwise: within-entity global pass. Pure function of one
+   *  entity's fills (already unary-filtered), deterministic order. */
+  def entityPass(fillsIn: Seq[SlotFill]): Seq[SlotFill] = {
+    var fills = fillsIn.sorted(fillOrdering)
+
+    // X13 NoDuplicates (:506-515): exact (pred, obj) dedup, keep best score
+    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
+      if (acc.exists(g => g.pred == f.pred && g.obj == f.obj)) acc
+      else acc :+ f
+    }
+    // X13b: per:employee_of dies if same obj exists under per:member_of
+    fills = fills.filterNot(f => f.pred == "per:employee_of" &&
+      fills.exists(g => g.pred == "per:member_of" && g.obj == f.obj))
+
+    // X14 NoDuplicatesApproximate (:518-573): same pred, two objs that link
+    // as the same entity -> kill the lower-scoring one
+    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
+      val dup = acc.exists(g => g.pred == f.pred && g.obj != f.obj &&
+        sameValue(g.obj, f.obj))
+      if (dup) acc else acc :+ f
+    }
+
+    // X15 DuplicateRelationOnlyInListRelations (:576-598): SINGLE relations
+    // keep only the top fill (argmax per (entity, pred))
+    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
+      if (Relations.singleValued.contains(f.pred) &&
+          acc.exists(_.pred == f.pred)) acc
+      else acc :+ f
+    }
+
+    // X16 RespectDeclaredIncompatibilities (:610-625): same obj under two
+    // preds -> lower dies unless plausiblyCooccursWith
+    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
+      val clash = acc.exists(g => g.obj == f.obj && g.pred != f.pred &&
+        !Relations.plausibleOverlap.contains((g.pred, f.pred)))
+      if (clash) acc else acc :+ f
+    }
+
+    // X18 RemoveLowWeightRelationUnlessOnlyOneOfType (:601-607)
+    fills = fills.filter { f =>
+      f.score >= 0.01 || !fills.exists(g => g.pred == f.pred &&
+        g.score > f.score)
+    }
+
+    // X17 MitigateLocOfDeath (:636-655): location-of-death requires a
+    // per:date_of_death fill
+    val hasDod = fills.exists(_.pred == "per:date_of_death")
+    fills = fills.filter(f => !deathLocPreds.contains(f.pred) || hasDod)
+
+    // X12 pairwise geo consistency (WorldKnowledgePostProcessor.java:24-674):
+    // city fill implies state/country agreement when those fills exist
+    def geoOk(cityPred: String, statePred: String, countryPred: String): Seq[SlotFill] = {
+      val city = fills.find(_.pred == cityPred)
+      city match {
+        case Some(cf) => Gazetteers.cities.get(cf.obj) match {
+          case Some((st, co)) =>
+            fills.filterNot(f =>
+              (f.pred == statePred && f.obj != st) ||
+              (f.pred == countryPred && f.obj != co))
+          case None => fills
+        }
+        case None => fills
+      }
+    }
+    fills = geoOk("per:city_of_birth", "per:stateorprovince_of_birth",
+      "per:country_of_birth").toVector
+    fills = geoOk("per:city_of_death", "per:stateorprovince_of_death",
+      "per:country_of_death").toVector
+    fills = geoOk("org:city_of_headquarters",
+      "org:stateorprovince_of_headquarters",
+      "org:country_of_headquarters").toVector
+
+    fills
+  }
+
+  /** EntityLinker.sameEntity-lite for slot values
+   *  (HeuristicSlotfillPostProcessors.java:518-573 +
+   *  entitylinking/EntityLinker.java:80-175): exact (case-insensitive),
+   *  acronym, or approximate-token containment. */
+  def sameValue(a: String, b: String): Boolean = {
+    if (a.equalsIgnoreCase(b)) return true
+    val ta = a.split(" ").toSeq
+    val tb = b.split(" ").toSeq
+    if (Coref.isAcronymOf(a, tb) || Coref.isAcronymOf(b, ta)) return true
+    // token containment with approximate matching (last-name reference etc.)
+    val (small, large) = if (ta.length <= tb.length) (ta, tb) else (tb, ta)
+    small.nonEmpty && small.forall(s =>
+      large.exists(l => Coref.approxTokenMatch(s, l)))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.extract
+
+import graft.model.{Candidate, NER, Sentence}
+import graft.nlp.Gazetteers
+
+/**
+ * Candidate (entity, slot) pair generation + surface featurization.
+ *
+ * RelationMentionAnnotator in ALL_PAIRS mode
+ * (process/RelationMentionAnnotator.java:95-297): every PER/ORG mention is
+ * an entity; every slot mention AND every other entity mention is a slot
+ * candidate; pairs deduped per sentence on (entity, slotValue)
+ * (`extractedPairs`, :109,176-183). Featurization = the surface families of
+ * FeatureFactory.createDatum (process/FeatureFactory.java:98-613) with
+ * doNotLexicalizeFirstArgument=true (process/KBPProcess.java:64); parse/
+ * dependency families are out of scope (SURVEY.md §7 risk note) — C1 weights
+ * are ours, so the feature basis is internal.
+ *
+ * Pure per-sentence function — runs in the same mapPartitions as the NLP
+ * stage; no shuffle until bag aggregation.
+ */
+object Candidates {
+
+  val MaxSentenceTokens = 150 // PreFeaturizerAnnotator.java:99 gate
+
+  def fromSentence(s: Sentence): Seq[Candidate] = {
+    if (s.tokens.length > MaxSentenceTokens) return Nil
+    val Mentions.Spans(ents, slots) = Mentions.extract(s)
+    if (ents.isEmpty) return Nil
+    val toks = s.tokens.toIndexedSeq
+    val words = toks.map(_.word)
+
+    val out = Seq.newBuilder[Candidate]
+    val seen = scala.collection.mutable.HashSet[(String, String)]()
+
+    for (ent <- ents) {
+      val slotCands = slots.iterator ++
+        ents.iterator.filter(o => o.b != ent.b || o.e != ent.e)
+      for (slot <- slotCands) {
+        val overlap = ent.b < slot.e && slot.b < ent.e
+        val dist =
+          if (overlap) 0
+          else if (ent.e <= slot.b) slot.b - ent.e else ent.b - slot.e
+        if (!overlap && dist <= Mentions.MaxEntitySlotDistance &&
+            ent.normalized != slot.normalized) {
+          val key = (ent.normalized, slot.normalized)
+          if (seen.add(key)) {
+            val entFirst = ent.e <= slot.b
+            val (lo, hi) = if (entFirst) (ent.e, slot.b) else (slot.e, ent.b)
+            val between = (lo until hi).map(words(_)).toArray
+            // pattern hits computed here where the raw ordered between-window
+            // is available; carried as rule=<rel> / trigger=<rel> features so
+            // scoring stays a pure function of the feature vector.
+            val (ruleHits, triggerHits) = Patterns.matchBoth(ent.ner,
+              slot.ner, entFirst, between.map(_.toLowerCase))
+            out += Candidate(
+              subj = ent.normalized,
+              subj_type = ent.ner,
+              obj = slot.normalized,
+              obj_surface = slot.surface,
+              obj_type = slot.ner,
+              url = s.url, doc_id = s.doc_id, sent_idx = s.sent_idx,
+              ent_b = ent.b, ent_e = ent.e, slot_b = slot.b, slot_e = slot.e,
+              features = featurize(ent.ner, slot.ner, entFirst, dist,
+                between, words, ent.b, ent.e, slot.b, slot.e) ++
+                triggerHits.map(rel => s"trigger=$rel") ++
+                ruleHits.map(rel => s"rule=$rel"))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def distBin(d: Int): String =
+    if (d == 0) "0" else if (d == 1) "1" else if (d == 2) "2"
+    else if (d <= 5) "3-5" else if (d <= 10) "6-10" else "11-25"
+
+  private def sp(s: String) = s.replace(' ', '_') // FeatureFactory.java:129-141
+
+  /** Surface feature families -> ARRAY<STRING> sparse vector. */
+  def featurize(subjType: String, objType: String, entFirst: Boolean,
+                dist: Int, between: Array[String], words: IndexedSeq[String],
+                eb: Int, ee: Int, sb: Int, se: Int): Seq[String] = {
+    val f = Seq.newBuilder[String]
+    f += s"arg1type=$subjType"
+    f += s"arg2type=$objType"
+    f += s"argtypes=$subjType-$objType"
+    f += s"arg_order=${if (entFirst) "e_before_s" else "s_before_e"}"
+    f += s"dist_bin=${distBin(dist)}"
+    val betweenLc = between.map(_.toLowerCase)
+    betweenLc.foreach(w => f += s"between_uni=${sp(w)}")
+    betweenLc.sliding(2).filter(_.length == 2)
+      .foreach(bi => f += s"between_bi=${sp(bi.mkString("_"))}")
+    betweenLc.foreach(w => f += s"between_cluster=${Gazetteers.wordCluster(w)}")
+    // adjacent words (windows of 1 around each span)
+    if (eb > 0) f += s"ent_prev=${sp(words(eb - 1).toLowerCase)}"
+    if (ee < words.length) f += s"ent_next=${sp(words(ee).toLowerCase)}"
+    if (sb > 0) f += s"slot_prev=${sp(words(sb - 1).toLowerCase)}"
+    if (se < words.length) f += s"slot_next=${sp(words(se).toLowerCase)}"
+    // arg2 lexical (arg1 not lexicalized)
+    val head = words(se - 1).toLowerCase
+    f += s"arg2word=${sp(head)}"
+    f += s"arg2cluster=${Gazetteers.wordCluster(head)}"
+    // trigger features are appended by the caller from the direction-aware
+    // pattern matcher (Patterns.matchBoth), not from a bag-of-words list
+    f.result().distinct
+  }
+}

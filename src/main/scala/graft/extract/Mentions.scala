@@ -1,0 +1,123 @@
+package graft.extract
+
+import graft.model.{NER, Sentence, Mention}
+import graft.nlp.Gazetteers
+
+/**
+ * Entity- and slot-mention extraction over an annotated sentence.
+ *
+ * Combines the reference's EntityMentionAnnotator
+ * (process/EntityMentionAnnotator.java:49-130) in ALL_PAIRS mode — entity
+ * mentions are all PER/ORG NER runs — and SlotMentionAnnotator
+ * (process/SlotMentionAnnotator.java:75-165): pronoun retagging via
+ * antecedent, maximal same-NER runs not overlapping entity spans, trailing
+ * IN/DT/RB/EX/POS trim, `closeEnough` distance gate of 25 tokens
+ * (common/Utils.java:303-315, Props.java:497-498).
+ */
+object Mentions {
+
+  val MaxEntitySlotDistance = 25 // MAX_DISTANCE_BETWEEN_ENTITY_AND_SLOT
+  private val TrimPos = Set("IN", "DT", "RB", "EX", "POS", "CC")
+
+  final case class Spans(entities: Seq[Mention], slots: Seq[Mention])
+
+  def extract(s: Sentence): Spans = {
+    val toks = s.tokens.toIndexedSeq
+    val n = toks.length
+
+    // ---- entity mentions: maximal PERSON/ORGANIZATION runs
+    val entities = Seq.newBuilder[Mention]
+    var i = 0
+    while (i < n) {
+      val t = toks(i).ner
+      if (NER.isEntityType(t)) {
+        var j = i
+        while (j < n && toks(j).ner == t) j += 1
+        val surface = (i until j).map(toks(_).word).mkString(" ")
+        val norm = if (toks(i).antecedent.nonEmpty) toks(i).antecedent else surface
+        entities += Mention(s.url, s.doc_id, s.sent_idx, "entity", i, j, t,
+          surface, norm)
+        i = j
+      } else i += 1
+    }
+    // coref mentions as entities (EntityMentionAnnotator.java:49-130: runs
+    // of AntecedentAnnotation not overlapping literal matches): a pronoun or
+    // "the company"-style token with a resolved antecedent acts as an entity
+    // mention normalized to the antecedent.
+    i = 0
+    while (i < n) {
+      val t = toks(i)
+      if (t.ner == "O" && t.antecedent.nonEmpty) {
+        val tpe =
+          if (Gazetteers.personPronouns.contains(t.word)) NER.PERSON
+          else NER.ORGANIZATION
+        entities += Mention(s.url, s.doc_id, s.sent_idx, "entity", i, i + 1,
+          tpe, t.word, t.antecedent)
+      }
+      i += 1
+    }
+    val ents = entities.result()
+    val entSpans = ents.map(m => (m.b, m.e))
+    def overlapsEntity(b: Int, e: Int) =
+      entSpans.exists { case (eb, ee) => b < ee && eb < e }
+    def closeEnough(b: Int, e: Int) = entSpans.exists { case (eb, ee) =>
+      math.min(math.abs(eb - e), math.abs(b - ee)) <= MaxEntitySlotDistance ||
+        (b < ee && eb < e)
+    }
+
+    // ---- slot mentions
+    val slots = Seq.newBuilder[Mention]
+
+    // pronoun retag (SlotMentionAnnotator.java:91-119): PRP with person
+    // antecedent acts as a PERSON slot candidate normalized to the antecedent
+    i = 0
+    while (i < n) {
+      val t = toks(i)
+      if (t.pos == "PRP" && t.antecedent.nonEmpty &&
+          Gazetteers.personPronouns.contains(t.word) &&
+          !overlapsEntity(i, i + 1) && closeEnough(i, i + 1)) {
+        slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", i, i + 1,
+          NER.PERSON, t.word, t.antecedent)
+      }
+      i += 1
+    }
+
+    // maximal same-NER runs (all known tags), not overlapping entity spans
+    i = 0
+    while (i < n) {
+      val tag = toks(i).ner
+      if (tag != "O") {
+        var j = i
+        while (j < n && toks(j).ner == tag) j += 1
+        // trim trailing function words (SlotMentionAnnotator trim rule)
+        var e = j
+        while (e > i && TrimPos.contains(toks(e - 1).pos)) e -= 1
+        if (e > i && !overlapsEntity(i, e) && closeEnough(i, e)) {
+          val surface = (i until e).map(toks(_).word).mkString(" ")
+          val norm = normalize(tag, surface, toks(i).antecedent, toks(i).timex)
+          slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", i, e, tag,
+            surface, norm)
+        }
+        i = j
+      } else i += 1
+    }
+    Spans(ents, slots.result())
+  }
+
+  /** Canonical-mention normalization carried as a column (X8 semantics,
+   *  HeuristicSlotfillPostProcessors.java:298-367): DATE -> TIMEX value,
+   *  PERSON -> (longer) antecedent, NUMBER -> digit run. */
+  def normalize(ner: String, surface: String, antecedent: String,
+                timex: String): String = ner match {
+    case NER.DATE if timex.nonEmpty => timex
+    case NER.PERSON if antecedent.length >= surface.length &&
+      antecedent.nonEmpty => antecedent
+    case NER.NUMBER =>
+      val digits = surface.takeWhile(c => c.isDigit || c == ',' || c == '.')
+      if (digits.nonEmpty) digits.replace(",", "") else surface
+    case NER.DURATION =>
+      val digits = surface.takeWhile(_.isDigit)
+      if (digits.nonEmpty) digits else surface
+    case _ => surface
+  }
+}

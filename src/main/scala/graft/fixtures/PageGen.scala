@@ -1,0 +1,280 @@
+package graft.fixtures
+
+import java.sql.Timestamp
+import graft.model.{Page, Relations}
+import graft.nlp.{Gazetteers, TextExtractor}
+
+/**
+ * Deterministic synthetic pages + gold triples (FIXTURES.md §1-2).
+ *
+ * Docs are assembled from fixed sentence templates with planted facts; the
+ * generator emits the exact (subj, pred(official name), obj) triples the
+ * full pipeline must recover (gate: P/R = 1.0 at small scale, standing in
+ * for the ≥0.95 reference-parity gate — BASELINE.md).
+ *
+ * Global-consistency-by-construction: every fact is a FUNCTION of the
+ * ENTITY's index (not the doc's), so one entity never carries conflicting
+ * SINGLE-cardinality facts across documents (X15-safe), geo fills agree with
+ * the gazetteer (X12-safe), and entity-pair spacings are distinct per
+ * relation family so the same (subj, obj) pair never occurs under
+ * implausibly-overlapping relations (X16-safe):
+ *   spouse ±1 | parents/children ±2 | siblings ±3 | cousin ±5 | alt-name ±7.
+ * Org names are injective below index 800 (adj×noun×noun2) and differ in a
+ * non-strippable token, so the linker never merges two planted orgs.
+ * Seeded by index only — no Random, no wall-clock.
+ *
+ * Reference analogue of this input: the fork's candidate_sentences.txt +
+ * query XML (evaluate/SimpleSlotFiller.java:105-152,
+ * spec/TaskXMLParser.java:25-117).
+ */
+object PageGen {
+
+  final case class Gold(subj: String, pred: String, obj: String)
+
+  // only geo-unambiguous cities: a city-state like "Singapore" would need
+  // one surface form to NER-tag as CITY, STATE and COUNTRY at once
+  private val cityList = Gazetteers.cities.keys.filter { c =>
+    val (st, co) = Gazetteers.cities(c)
+    st != c && co != c && !Gazetteers.states.contains(c) &&
+      !Gazetteers.countries.contains(c)
+  }.toSeq.sorted
+  private val titleList = Seq("engineer", "economist", "journalist",
+    "lawyer", "professor", "architect", "surgeon", "analyst", "editor",
+    "consultant")
+  private val topTitles = Seq("president", "chairman", "director")
+  private val firstList = Gazetteers.firstNames.toSeq.sorted
+  private val lastList = Gazetteers.lastNames
+  private val religionList = Seq("Christianity", "Islam", "Judaism",
+    "Buddhism", "Hinduism")
+  private val ideologyList = Gazetteers.ideologies.toSeq.sorted
+  private val chargeList = Gazetteers.criminalCharges.toSeq.sorted
+  private val causeList = Seq("cancer", "pneumonia", "leukemia", "sepsis")
+  private val monthNames = Seq("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val orgAdj = Seq("Global", "Northern", "Pacific", "Advanced",
+    "Premier", "Sterling", "Summit", "Vertex", "Quantum", "Pinnacle")
+  private val orgNoun = Seq("Dynamics", "Ventures", "Logistics",
+    "Analytics", "Robotics", "Networks", "Materials", "Biotech",
+    "Aerospace", "Energy")
+  private val orgNoun2 = Seq("Avionics", "Semiconductors",
+    "Pharmaceuticals", "Software", "Consulting", "Publishing", "Insurance",
+    "Telecom")
+  private val orgSuf = Seq("Inc.", "Corp.", "Group", "Ltd.")
+
+  // ---- entity universes (injective within fixture scale)
+  def person(k: Int): String = {
+    val i = math.abs(k)
+    firstList(i % firstList.size) + " " +
+      lastList((i / firstList.size + i) % lastList.size)
+  }
+  /** Injective for i < 800; names differ in a non-strippable token. */
+  def org(k: Int): String = {
+    val i = math.abs(k)
+    orgAdj(i % 10) + " " + orgNoun((i / 10) % 10) + " " +
+      orgNoun2((i / 100) % 8) + " " + orgSuf(i % 4)
+  }
+  private def aliasOf(k: Int): String = {
+    val i = math.abs(k)
+    orgAdj(i % 10) + " " + orgNoun((i / 10) % 10) + " " +
+      orgNoun2((i / 100) % 8) + " Holdings"
+  }
+  private def city(k: Int) = cityList(math.abs(k) % cityList.size)
+  private def stateOf(c: String) = Gazetteers.cities(c)._1
+  private def countryOf(c: String) = Gazetteers.cities(c)._2
+  private def dateParts(k: Int): (String, Int, Int) = {
+    val i = math.abs(k)
+    (monthNames(i % 12), 1 + (i % 28), 1940 + (i % 70))
+  }
+  private def timex(k: Int): String = {
+    val (_, d, y) = dateParts(k)
+    f"$y%04d-${math.abs(k) % 12 + 1}%02d-$d%02d"
+  }
+  private def dateStr(k: Int): String = {
+    val (m, d, y) = dateParts(k)
+    s"$m $d, $y"
+  }
+  private def websiteOf(o: String): String =
+    "https://www." + o.toLowerCase.filter(_.isLetter) + ".com"
+
+  // ---- per-entity facts (functions of the ENTITY index)
+  private def age(k: Int) = 25 + (math.abs(k) % 60)
+  private def birthCity(k: Int) = city(k)
+  private def birthDateK(k: Int) = k // timex(k)
+  private def resCity(k: Int) = city(k + 7)
+  private def deathCity(k: Int) = city(k + 11)
+  private def deathDateK(k: Int) = k + 1
+  private def causeOf(k: Int) = causeList(math.abs(k) % causeList.size)
+  private def titleOf(k: Int) = titleList(math.abs(k) % titleList.size)
+  private def religionOf(k: Int) = religionList(math.abs(k) % religionList.size)
+  private def hqCity(k: Int) = city(k + 7)
+  private def foundedYear(k: Int) = 1940 + (math.abs(k) % 70)
+  private def employees(k: Int) = 500 + (math.abs(k) % 9000)
+  private def dissolvedK(k: Int) = k + 2
+
+  /** One template = text + gold triples (official 2013 pred names). */
+  private def templates(i: Int): Seq[(String, Seq[Gold])] = {
+    val p = person(i); val p2 = person(i + 1); val p3 = person(i + 2)
+    val o = org(i); val o2 = org(i + 1); val o3 = org(i + 2)
+    val off = Relations.officialName _
+
+    Seq(
+      // 0: flagship person bio
+      (s"$p, ${age(i)}, was born in ${birthCity(i)} on ${dateStr(birthDateK(i))} and works as a ${titleOf(i)} at $o.",
+        Seq(Gold(p, "per:age", age(i).toString),
+          Gold(p, off("per:city_of_birth"), birthCity(i)),
+          Gold(p, off("per:date_of_birth"), timex(birthDateK(i))),
+          Gold(p, "per:title", titleOf(i)),
+          Gold(p, off("per:employee_of"), o))),
+      // 1: spouse (pair spacing 1)
+      (s"$p2 married $p3 in ${city(i + 20)}.",
+        Seq(Gold(p2, "per:spouse", p3), Gold(p3, "per:spouse", p2))),
+      // 2: org founding
+      (s"$o was founded by $p in ${foundedYear(i)} and is headquartered in ${hqCity(i)}.",
+        Seq(Gold(o, "org:founded_by", p),
+          Gold(o, "org:founded", s"${foundedYear(i)}-XX-XX"),
+          Gold(o, off("org:city_of_headquarters"), hqCity(i)))),
+      // 3: org alias + headcount
+      (s"$o2, also known as ${aliasOf(i + 1)}, employs ${employees(i + 1)} people.",
+        Seq(Gold(o2, "org:alternate_names", aliasOf(i + 1)),
+          Gold(aliasOf(i + 1), "org:alternate_names", o2),
+          Gold(o2, off("org:number_of_employees/members"), employees(i + 1).toString),
+          Gold(aliasOf(i + 1), off("org:number_of_employees/members"), employees(i + 1).toString))),
+      // 4: education + job
+      (s"$p2 graduated from $o2 and joined $o3 as a ${titleOf(i + 1)}.",
+        Seq(Gold(p2, "per:schools_attended", o2),
+          Gold(p2, off("per:employee_of"), o3),
+          Gold(p2, "per:title", titleOf(i + 1)))),
+      // 5: death (city + cause + date; date keeps X17 satisfied)
+      (s"$p3 died of ${causeOf(i + 2)} in ${deathCity(i + 2)} on ${dateStr(deathDateK(i + 2))}.",
+        Seq(Gold(p3, "per:cause_of_death", causeOf(i + 2)),
+          Gold(p3, off("per:city_of_death"), deathCity(i + 2)),
+          Gold(p3, off("per:date_of_death"), timex(deathDateK(i + 2))))),
+      // 6: nationality + title + residence
+      (s"$p2, a ${natOf(i + 1)} ${titleOf(i + 1)}, lives in ${resCity(i + 1)}.",
+        Seq(Gold(p2, "per:origin", natOf(i + 1)),
+          Gold(p2, "per:title", titleOf(i + 1)),
+          Gold(p2, off("per:cities_of_residence"), resCity(i + 1)))),
+      // 7: charges
+      (s"$p was charged with ${chargeList(i % chargeList.size)} in ${1990 + (i % 30)}.",
+        Seq(Gold(p, "per:charges", chargeList(i % chargeList.size)))),
+      // 8: acquisition (org pair spacing 3)
+      (s"$o acquired ${org(i + 3)} in ${1990 + (i % 30)}.",
+        Seq(Gold(o, "org:subsidiaries", org(i + 3)),
+          Gold(org(i + 3), "org:parents", o))),
+      // 9: top member
+      (s"$p3 is the ${topTitles(i % 3)} of $o.",
+        Seq(Gold(p3, "per:title", topTitles(i % 3)),
+          Gold(o, off("org:top_members/employees"), p3),
+          Gold(p3, off("per:employee_of"), o))),
+      // 10: per member_of
+      (s"$p is a member of $o3.",
+        Seq(Gold(p, off("per:member_of"), o3))),
+      // 11: religion
+      (s"$p2 practices ${religionOf(i + 1)}.",
+        Seq(Gold(p2, "per:religion", religionOf(i + 1)))),
+      // 12: parents/children (pair spacing 2)
+      (s"$p is the son of $p3.",
+        Seq(Gold(p, "per:parents", p3), Gold(p3, "per:children", p))),
+      // 13: website
+      (s"$o's website is ${websiteOf(o)}.",
+        Seq(Gold(o, "org:website", websiteOf(o)))),
+      // 14: state of birth (consistent with birth city's state)
+      (s"$p2 was born in ${stateOf(birthCity(i + 1))}.",
+        Seq(Gold(p2, off("per:stateorprovince_of_birth"), stateOf(birthCity(i + 1))))),
+      // 15: country of birth
+      (s"$p3 was born in ${countryOf(birthCity(i + 2))}.",
+        Seq(Gold(p3, off("per:country_of_birth"), countryOf(birthCity(i + 2))))),
+      // 16: shareholders
+      (s"$p holds a stake in $o2.",
+        Seq(Gold(o2, "org:shareholders", p))),
+      // 17: affiliation
+      (s"$o3 is affiliated with the ${ideologyList(i % ideologyList.size)} movement.",
+        Seq(Gold(o3, off("org:political/religious_affiliation"),
+          ideologyList(i % ideologyList.size)))),
+      // 18: dissolution
+      (s"$o2 was dissolved on ${dateStr(dissolvedK(i + 1))}.",
+        Seq(Gold(o2, "org:dissolved", timex(dissolvedK(i + 1))))),
+      // 19: cousin (pair spacing 5)
+      (s"$p is a cousin of ${person(i + 5)}.",
+        Seq(Gold(p, "per:other_family", person(i + 5)),
+          Gold(person(i + 5), "per:other_family", p))),
+      // 20: siblings (pair spacing 3)
+      (s"$p2 has a brother, ${person(i + 4)}.",
+        Seq(Gold(p2, "per:siblings", person(i + 4)),
+          Gold(person(i + 4), "per:siblings", p2))),
+      // 21: org member_of/members (org pair spacing 5)
+      (s"$o2 is a member of ${org(i + 6)}.",
+        Seq(Gold(o2, "org:member_of", org(i + 6)),
+          Gold(org(i + 6), "org:members", o2))),
+      // 22: state of residence
+      (s"$p lives in ${stateOf(resCity(i))}.",
+        Seq(Gold(p, off("per:stateorprovinces_of_residence"), stateOf(resCity(i))))),
+      // 23: country of residence
+      (s"$p2 lives in ${countryOf(resCity(i + 1))}.",
+        Seq(Gold(p2, off("per:countries_of_residence"), countryOf(resCity(i + 1))))),
+      // 24: person alternate names (pair spacing 7)
+      (s"$p3, also known as ${person(i + 9)}, wrote several novels.",
+        Seq(Gold(p3, "per:alternate_names", person(i + 9)),
+          Gold(person(i + 9), "per:alternate_names", p3))),
+      // 25: state of death (consistent with death city's state + date)
+      (s"$p2 passed away in ${stateOf(deathCity(i + 1))} on ${dateStr(deathDateK(i + 1))}.",
+        Seq(Gold(p2, off("per:stateorprovince_of_death"), stateOf(deathCity(i + 1))),
+          Gold(p2, off("per:date_of_death"), timex(deathDateK(i + 1))))),
+      // 26: country of death
+      (s"$p3 passed away in ${countryOf(deathCity(i + 2))} on ${dateStr(deathDateK(i + 2))}.",
+        Seq(Gold(p3, off("per:country_of_death"), countryOf(deathCity(i + 2))),
+          Gold(p3, off("per:date_of_death"), timex(deathDateK(i + 2))))),
+      // 27: state of HQ (consistent with HQ city)
+      (s"$o3 is based in ${stateOf(hqCity(i + 2))}.",
+        Seq(Gold(o3, off("org:stateorprovince_of_headquarters"), stateOf(hqCity(i + 2))))),
+      // 28: country of HQ
+      (s"$o2 is headquartered in ${countryOf(hqCity(i + 1))}.",
+        Seq(Gold(o2, off("org:country_of_headquarters"), countryOf(hqCity(i + 1))))),
+      // 29: pronoun coref across sentences
+      (s"$p was born in ${birthCity(i)}. He works at ${org(i + 5)}.",
+        Seq(Gold(p, off("per:city_of_birth"), birthCity(i)),
+          Gold(p, off("per:employee_of"), org(i + 5))))
+    )
+  }
+
+  private val natList = Gazetteers.nationalities.keys.toSeq.sorted
+  private def natOf(k: Int) = natList(math.abs(k) % natList.size)
+
+  /** Filler sentences with no gold (multibyte rows exercise the
+   *  byte-identity invariant). */
+  private def filler(i: Int): String = {
+    val opts = Seq(
+      "The quarterly report was published yesterday.",
+      "Markets were mixed in early trading.",
+      "Officials declined to comment on the matter.",
+      "The café near the Müller bridge reopened — crowds followed.",
+      "暴风雨过后，城市恢复了平静。",
+      "Analysts expect further announcements soon.")
+    opts(math.abs(i) % opts.size)
+  }
+
+  /** Build one page (2-4 template sentences + 1 filler) and its gold. */
+  def page(i: Int): (Page, Seq[Gold]) = {
+    val ts = templates(i)
+    val nSent = 2 + (i % 3)
+    val chosen = (0 until nSent).map(k => ts((i + k * 7) % ts.size))
+    val sents = chosen.map(_._1) :+ filler(i)
+    val text = sents.mkString(" ")
+    val gold = chosen.flatMap(_._2)
+    val url = s"https://site-${i % 97}.example/page-$i"
+    val html = ("<html><head><title>t</title></head><body><p>" +
+      TextExtractor.escapeHtml(text) + "</p></body></html>")
+      .getBytes("UTF-8")
+    val lang = if (i % 20 == 19) Seq("de", "fr")(i % 2) else "en"
+    val warcTs = new Timestamp(1700000000000L + i.toLong * 37000L)
+    (Page(url, warcTs, html, text, lang), if (lang == "en") gold else Nil)
+  }
+
+  /** n pages + deduplicated gold triple set. Keep n ≤ 790 so org names stay
+   *  injective (indexes reach n+6). */
+  def corpus(n: Int): (Seq[Page], Set[Gold]) = {
+    val all = (0 until n).map(page)
+    (all.map(_._1), all.flatMap(_._2).toSet)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{NER, SlotFill}
+import graft.nlp.Coref
+
+/**
+ * Entity linking & canonicalization (the EntityMergingPostProcessor, G2 —
+ * evaluate/GraphConsistencyPostProcessors.java:51-129; pairwise match
+ * semantics from entitylinking/EntityLinker.java:80-175 "GaborsHackyBaseline":
+ * acronym + token-overlap).
+ *
+ * Scale design (the skew-sensitive step per SURVEY.md §2.9):
+ *  - NO all-pairs compare: names are exploded to BLOCKING KEYS (normalized
+ *    token string, acronym key, surname key); only names sharing a key are
+ *    compared.
+ *  - within a block, GREEDY clustering against accumulated representatives
+ *    (block sorted deterministically) — O(n·reps), not O(n²);
+ *    a hot block ("united states") degrades gracefully because near-equal
+ *    names collapse into one rep early.
+ *  - cross-block agreement via iterative min-label propagation (connected
+ *    components as joins, bounded iterations) — the standard large-scale CC
+ *    pattern; per-entity graphs are tiny so it converges in 2-3 rounds.
+ */
+object Linker {
+
+  private val corpSuffixes = Set("inc", "inc.", "corp", "corp.", "co",
+    "co.", "ltd", "ltd.", "llc", "corporation", "company")
+
+  /** Deterministic stable entity id from (type, canonical name) — codegen'd
+   *  column expression, no UDF. */
+  def idCol(name: Column, tpe: Column): Column =
+    concat(lit("e:"), lower(substring(tpe, 1, 3)), lit(":"),
+      md5(concat(tpe, lit("|"), name)))
+
+  def normalizeName(n: String): String =
+    n.split(" ").filterNot(t => corpSuffixes.contains(t.toLowerCase))
+      .mkString(" ").toLowerCase.trim
+
+  /** Blocking keys for a (name, type). */
+  def blockKeys(name: String, tpe: String): Seq[String] = {
+    val toks = name.split(" ").toSeq
+    val norm = normalizeName(name)
+    val keys = Seq.newBuilder[String]
+    if (norm.nonEmpty) keys += s"n:$tpe:$norm"
+    // acronym key: ABC and "Acme Business Corp" share key a:ORG:abc
+    if (toks.length == 1 && name.forall(c => !c.isLower) && name.length >= 2
+        && name.count(_.isLetter) >= 2)
+      keys += s"a:$tpe:${name.filter(_.isLetter).toLowerCase}"
+    else if (toks.length >= 2) {
+      val initials = toks.filter(t => t.nonEmpty && t.charAt(0).isUpper)
+        .map(_.charAt(0).toLower).mkString
+      if (initials.length >= 2) keys += s"a:$tpe:$initials"
+    }
+    // surname key for persons ("John Smith" ~ "Smith")
+    if (tpe == NER.PERSON && toks.nonEmpty)
+      keys += s"s:$tpe:${toks.last.toLowerCase.stripSuffix(".")}"
+    keys.result()
+  }
+
+  /** Pairwise same-entity test (exact-normalized | acronym | token subset
+   *  with approximate token match). */
+  def sameEntity(a: String, b: String): Boolean = {
+    if (normalizeName(a) == normalizeName(b)) return true
+    val ta = a.split(" ").toSeq
+    val tb = b.split(" ").toSeq
+    if (Coref.isAcronymOf(a, tb) || Coref.isAcronymOf(b, ta)) return true
+    val (small, large) = if (ta.length <= tb.length) (ta, tb) else (tb, ta)
+    small.nonEmpty && large.nonEmpty && small.length < large.length &&
+      small.forall(s => large.exists(l => Coref.approxTokenMatch(s, l)))
+  }
+
+  /** name -> canonical name for all PER/ORG names in the fills. */
+  def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
+      : Dataset[(String, String)] = {
+    import spark.implicits._
+    val names = fills.flatMap { f =>
+      Seq((f.subj, f.subj_type)) ++
+        (if (NER.isEntityType(f.obj_type)) Seq((f.obj, f.obj_type)) else Nil)
+    }.distinct()
+
+    // explode to blocking keys, cluster greedily per block
+    val pairs = names.flatMap { case (n, t) =>
+      blockKeys(n, t).map(k => (k, n))
+    }.groupByKey(_._1).flatMapGroups { (_, it) =>
+      // deterministic order: longest first (representatives are maximal
+      // surface forms), then lexicographic
+      val members = it.map(_._2).toVector.distinct
+        .sortBy(n => (-n.length, n))
+      val reps = scala.collection.mutable.ArrayBuffer[String]()
+      members.map { n =>
+        reps.find(r => sameEntity(r, n)) match {
+          case Some(r) => (n, r)
+          case None => reps += n; (n, n)
+        }
+      }
+    }.toDF("name", "rep")
+
+    // connected components: min-label propagation until fixpoint.
+    // label(name) = min over all reps reachable; bounded iterations.
+    var labels = pairs.groupBy($"name")
+      .agg(min($"rep").as("label")).persist()
+    labels.count()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 10) {
+      // name -> label; rep side must converge too: propagate label of the
+      // rep-name to all names sharing that rep
+      val next = pairs
+        .join(labels.withColumnRenamed("name", "rep")
+          .withColumnRenamed("label", "repLabel"), Seq("rep"))
+        .groupBy($"name").agg(min($"repLabel").as("label"))
+        .persist()
+      val diff = next.join(labels.withColumnRenamed("label", "old"), Seq("name"))
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      changed = diff > 0
+      iter += 1
+    }
+    labels.as[(String, String)]
+  }
+
+  /** Rewrite subj/obj to canonical representatives. The alias map is small
+   *  relative to the corpus (distinct entities), broadcast by AQE/hint. */
+  def canonicalize(spark: SparkSession, fills: Dataset[SlotFill])
+      : Dataset[SlotFill] = {
+    import spark.implicits._
+    val aliases = buildAliasMap(spark, fills).toDF("name", "canon")
+    val f = fills.toDF()
+    val withSubj = f.join(broadcast(aliases).withColumnRenamed("name", "subj")
+        .withColumnRenamed("canon", "subj_canon"), Seq("subj"), "left")
+    val withObj = withSubj.join(broadcast(aliases)
+        .withColumnRenamed("name", "obj")
+        .withColumnRenamed("canon", "obj_canon"), Seq("obj"), "left")
+    withObj.select(
+      coalesce($"subj_canon", $"subj").as("subj"),
+      $"subj_type",
+      $"pred",
+      coalesce($"obj_canon", $"obj").as("obj"),
+      $"obj_type",
+      $"score",
+      $"prov").as[SlotFill]
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.nlp.Annotator
+import graft.extract.{Candidates, Scorer}
+import graft.consistency.Consistency
+import graft.link.Linker
+import graft.io.TableIO
+
+/**
+ * The end-to-end KG-construction dataflow (north_rule):
+ *
+ *   pages --mapPartitions NLP--> sentences --flatMap--> scored fills
+ *     --[shuffle 1: bag agg by (pair, pred)]--> merged fills
+ *     --[shuffle 2: entity-partitioned consistency]--> consistent fills
+ *     --[linking: blocked, broadcast-joined]--> canonical fills
+ *     --symmetric expansion + edge merge + official rename--> triples
+ *
+ * Plan shape mirrors SURVEY.md §3.1: everything through scoring is
+ * per-document local (one mapPartitions, no shuffle); only bag aggregation,
+ * per-entity consistency and linking shuffle, each on an explicit key. The
+ * triples table is written partitioned by pred (partition pruning for
+ * per-relation consumers).
+ */
+object KGPipeline {
+
+  /** Stage 1: NLP annotate (tokenize/ssplit/pos/ner/coref), early gates
+   *  inside the partition (lang + length — Catalyst can't invent these). */
+  def sentences(spark: SparkSession, pages: Dataset[Page]): Dataset[Sentence] = {
+    import spark.implicits._
+    pages.filter(p => Annotator.admits(p.lang, p.text))
+      .mapPartitions(_.flatMap(Annotator.annotate))
+  }
+
+  /** Stages 2-4: mentions -> candidate pairs -> per-mention scores, fused in
+   *  one narrow pass (no shuffle). */
+  def mentionFills(spark: SparkSession, sents: Dataset[Sentence]): Dataset[SlotFill] = {
+    import spark.implicits._
+    sents.mapPartitions(_.flatMap(s =>
+      Candidates.fromSentence(s).flatMap(Scorer.toFills)))
+  }
+
+  /** Stage 5: bag aggregation — merge per-mention scores for the same
+   *  (KBPair, relation) via noisy-or (common/Utils.java:287-291,
+   *  JointBayesRelationExtractor.java:2037-2051), keeping the
+   *  highest-scoring mention's provenance (P1 as a column —
+   *  SimpleSlotFiller.findBestProvenance without a second pass). */
+  def aggregateBags(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    fills.toDF()
+      .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
+      .agg(
+        // log-domain noisy-or: 1 - prod(1-p); p=1 contributes -inf -> 1.0
+        (lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0)))))).as("score"),
+        // deterministic argmax provenance: struct ordering = (score, prov)
+        max(struct($"score", $"prov")).getField("prov").as("prov"))
+      .select($"subj", $"subj_type", $"pred", $"obj", $"obj_type",
+        least($"score", lit(1.0)).as("score"), $"prov")
+      .as[SlotFill]
+  }
+
+  /** Stage 6: consistency — unary pass (row-local), then the per-entity
+   *  pairwise/hold-one-out pass (X13-X18) partitioned by entity. */
+  def consistent(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    fills.flatMap(Consistency.unaryOne)
+      .groupByKey(_.subj)
+      .flatMapGroups((_, it) => Consistency.entityPass(it.toSeq))
+  }
+
+  /** Stage 7: entity linking + canonicalization (G2). */
+  def linked(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] =
+    Linker.canonicalize(spark, fills)
+
+  /** Symmetric relations (G4, SymmetricFunctionRewritePostProcessor):
+   *  reverse edges for spouse/siblings/other_family/alternate_names. */
+  private val symmetricPreds = Set("per:spouse", "per:siblings",
+    "per:other_family", "per:alternate_names", "org:alternate_names")
+
+  def symmetricExpand(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    val rev = fills.filter(f => symmetricPreds.contains(f.pred) &&
+        f.subj_type == f.obj_type && NER.isEntityType(f.obj_type))
+      .map(f => f.copy(subj = f.obj, obj = f.subj))
+    fills.unionByName(rev)
+  }
+
+  /** Stage 8: graph materialize — edge merge by noisy-or
+   *  (EntityGraph.mergeEdges, evaluate/EntityGraph.java:85-100), official
+   *  2013 relation rename (K1 — the canonicalization named in north_rule),
+   *  then Triple rows. */
+  def triples(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[Triple] = {
+    import spark.implicits._
+    val renamed = fills.map(f => f.copy(pred = Relations.officialName(f.pred)))
+    renamed.toDF()
+      .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
+      .agg(
+        (lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0)))))).as("score"),
+        max(struct($"score", $"prov")).getField("prov").as("prov"))
+      .select(
+        $"subj",
+        Linker.idCol($"subj", $"subj_type").as("subj_id"),
+        $"subj_type", $"pred", $"obj",
+        Linker.idCol($"obj", $"obj_type").as("obj_id"),
+        $"obj_type",
+        least($"score", lit(1.0)).as("score"),
+        $"prov.doc_id".as("prov_doc_id"),
+        $"prov.url".as("prov_url"),
+        $"prov.sent_idx".as("prov_sent_idx"))
+      .as[Triple]
+  }
+
+  /** Full run; with a TableIO each stage checkpoints and the job resumes
+   *  from the latest committed snapshot. */
+  def run(spark: SparkSession, pages: Dataset[Page],
+          io: Option[TableIO] = None): Dataset[Triple] = {
+    import spark.implicits._
+    def ckpt[T](table: String, ds: => Dataset[T], parts: Seq[String] = Nil)
+               (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+      io match {
+        case Some(t) => t.stage(table, parts)(ds.toDF()).as[T]
+        case None => ds
+      }
+    val sents = ckpt("sentences", sentences(spark, pages))
+    val raw = ckpt("fills_raw", mentionFills(spark, sents))
+    val bags = ckpt("fills_merged", aggregateBags(spark, raw))
+    val cons = ckpt("fills_consistent", consistent(spark, bags))
+    val link = ckpt("fills_linked", linked(spark, cons))
+    val sym = symmetricExpand(spark, link)
+    ckpt("triples", triples(spark, sym), Seq("pred"))
+  }
+}
