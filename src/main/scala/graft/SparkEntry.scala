@@ -50,10 +50,18 @@ object SparkEntry {
     }),
     "q02_noisyor" -> q((s, d) => {
       import s.implicits._
-      // T2 noisy-or in log domain: 1 - prod(1-p) (Utils.java:287-291)
-      t(s, d, "lineitem").groupBy($"l_orderkey").agg(
-        round(lit(1) - exp(sum(log1p(-$"l_discount"))), 6).as("noisy_or"),
-        count(lit(1)).as("n"))
+      // T2 noisy-or: 1 - prod(1-p) (Utils.java:287-291). Oracle-exact form:
+      // discounts are centesimal, so prod(1-p) = prod(100-cents)/100^n is an
+      // exact integer — immune to log/round/summation-order ulp noise (the
+      // pipeline's log-domain variant is gated by ScalaTest instead).
+      val w = Window.partitionBy($"l_orderkey").orderBy(
+        $"l_linenumber", $"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * 100), round($"l_discount" * 100))
+      t(s, d, "lineitem").withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 4)
+        .groupBy($"l_orderkey").agg(
+          product(lit(100) - round($"l_discount" * 100)).cast("long").as("inv_prod"),
+          count(lit(1)).as("n"))
         .orderBy($"l_orderkey")
     }),
     "q03_argmax" -> q((s, d) => {
@@ -298,8 +306,14 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_noisyor" ->
-      """SELECT l_orderkey, round(1 - exp(sum(ln(1 - l_discount))), 6) AS noisy_or,
-         count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
+      """SELECT l_orderkey,
+         CAST(product(100 - round(l_discount*100)) AS BIGINT) AS inv_prod,
+         count(*) AS n FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+             l_linenumber, l_partkey, l_suppkey,
+             round(l_extendedprice*100), round(l_discount*100)) AS rk
+           FROM lineitem) WHERE rk <= 4
+         GROUP BY 1 ORDER BY 1""",
     "q03_argmax" ->
       """SELECT l_orderkey, l_partkey, l_linenumber,
          CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents FROM (
