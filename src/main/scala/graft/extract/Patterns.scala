@@ -81,7 +81,7 @@ object Patterns {
     r("per:member_of", 1, 12, "member of", "belongs to", "sits on") ++
     r("per:schools_attended", 1, 12, "graduated from", "studied at",
       "attended", "earned a degree from", "alumnus of", "alumna of") ++
-    r("per:origin", 1, 4, "") ++ // "PER, a British lawyer" (adjacency)
+    rt("per:origin", 1, 4, NER.NATIONALITY, "") ++ // "PER, a British lawyer"
     r("per:origin", 1, 12, "citizen of", "native of", "descent") ++
     r("per:religion", 1, 8, "practices", "converted to", "devout", "adheres to") ++
     r("per:charges", 1, 12, "charged with", "convicted of", "accused of",

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.consistency.Consistency
+import graft.model.{NER, Provenance, SlotFill}
+
+class ConsistencySpec extends AnyFunSuite {
+
+  private val prov = Provenance("d", "u", 0, 0, 1, 2, 3)
+  private def f(subj: String, pred: String, obj: String, score: Double = 1.0,
+                subjType: String = NER.PERSON, objType: String = NER.CITY) =
+    SlotFill(subj, subjType, pred, obj, objType, score, prov)
+
+  test("X2 type gate kills wrong entity/slot types") {
+    assert(Consistency.unaryOne(
+      f("Acme", "per:title", "engineer", subjType = NER.ORGANIZATION,
+        objType = NER.TITLE)).isEmpty)
+    assert(Consistency.unaryOne(
+      f("A", "per:city_of_birth", "March", objType = NER.DATE)).isEmpty)
+  }
+
+  test("X4 sanity: length, age range, subj==obj") {
+    assert(Consistency.unaryOne(f("A", "per:city_of_birth", "x" * 81)).isEmpty)
+    assert(Consistency.unaryOne(
+      f("A", "per:age", "300", objType = NER.NUMBER)).isEmpty)
+    assert(Consistency.unaryOne(
+      f("A", "per:age", "44", objType = NER.NUMBER)).isDefined)
+    assert(Consistency.unaryOne(f("Paris", "per:city_of_birth", "Paris")).isEmpty)
+  }
+
+  test("X5 date padding and year requirement") {
+    val padded = Consistency.unaryOne(
+      f("A", "org:founded", "1985", subjType = NER.ORGANIZATION,
+        objType = NER.DATE)).get
+    assert(padded.obj == "1985-XX-XX")
+    assert(Consistency.unaryOne(
+      f("A", "per:date_of_birth", "XXXX-03-12", objType = NER.DATE)).isEmpty)
+    // death dates may lack a year
+    assert(Consistency.unaryOne(
+      f("A", "per:date_of_death", "XXXX-03-12", objType = NER.DATE)).isDefined)
+  }
+
+  test("X1 website overlap filter + base-url rewrite") {
+    val ok = Consistency.unaryOne(f("Acme Global Corp", "org:website",
+      "https://www.acmeglobal.com/about", subjType = NER.ORGANIZATION,
+      objType = NER.URL))
+    assert(ok.exists(_.obj == "https://www.acmeglobal.com"))
+    assert(Consistency.unaryOne(f("Acme Global Corp", "org:website",
+      "https://www.zzzqqq.com", subjType = NER.ORGANIZATION,
+      objType = NER.URL)).isEmpty)
+  }
+
+  test("X12 nationality -> country rewrite for country relations") {
+    val r = Consistency.unaryOne(f("A", "per:country_of_birth", "French",
+      objType = NER.NATIONALITY)).get
+    assert(r.obj == "France" && r.obj_type == NER.COUNTRY)
+  }
+
+  test("X13 exact dedup keeps best score") {
+    val out = Consistency.entityPass(Seq(
+      f("A", "per:title", "engineer", 0.9, objType = NER.TITLE),
+      f("A", "per:title", "engineer", 0.6, objType = NER.TITLE)))
+    assert(out.size == 1 && out.head.score == 0.9)
+  }
+
+  test("X13b employee_of dies under same-pair member_of") {
+    val out = Consistency.entityPass(Seq(
+      f("A", "per:employee_of", "Acme", 0.9, objType = NER.ORGANIZATION),
+      f("A", "per:member_of", "Acme", 0.8, objType = NER.ORGANIZATION)))
+    assert(out.map(_.pred) == Seq("per:member_of"))
+  }
+
+  test("X15 SINGLE-cardinality argmax keeps exactly one") {
+    val out = Consistency.entityPass(Seq(
+      f("A", "per:city_of_birth", "Paris", 0.9),
+      f("A", "per:city_of_birth", "Lyon", 0.8)))
+    assert(out.size == 1 && out.head.obj == "Paris")
+    // LIST relations keep both
+    val out2 = Consistency.entityPass(Seq(
+      f("A", "per:cities_of_residence", "Paris", 0.9),
+      f("A", "per:cities_of_residence", "Lyon", 0.8)))
+    assert(out2.size == 2)
+  }
+
+  test("X16 incompatible same-obj relations: lower dies unless plausible") {
+    val out = Consistency.entityPass(Seq(
+      f("A", "per:spouse", "Bob King", 0.9, objType = NER.PERSON),
+      f("A", "per:other_family", "Bob King", 0.8, objType = NER.PERSON)))
+    assert(out.map(_.pred) == Seq("per:spouse"))
+    // plausible overlap survives: employee_of + schools_attended
+    val out2 = Consistency.entityPass(Seq(
+      f("A", "per:employee_of", "Acme University", 0.9, objType = NER.ORGANIZATION),
+      f("A", "per:schools_attended", "Acme University", 0.8, objType = NER.ORGANIZATION)))
+    assert(out2.size == 2)
+  }
+
+  test("X17 location of death requires date of death") {
+    val noDate = Consistency.entityPass(Seq(
+      f("A", "per:city_of_death", "Paris", 0.9)))
+    assert(noDate.isEmpty)
+    val withDate = Consistency.entityPass(Seq(
+      f("A", "per:city_of_death", "Paris", 0.9),
+      f("A", "per:date_of_death", "1999-03-02", 0.9, objType = NER.DATE)))
+    assert(withDate.size == 2)
+  }
+
+  test("X12 pairwise geo: state fill must match the city's state") {
+    val ok = Consistency.entityPass(Seq(
+      f("A", "per:city_of_birth", "Paris", 1.0),
+      f("A", "per:stateorprovince_of_birth", "Ile-de-France", 1.0,
+        objType = NER.STATE_OR_PROVINCE),
+      f("A", "per:date_of_death", "1999-01-01", 1.0, objType = NER.DATE)))
+    assert(ok.size == 3)
+    val bad = Consistency.entityPass(Seq(
+      f("A", "per:city_of_birth", "Paris", 1.0),
+      f("A", "per:stateorprovince_of_birth", "Texas", 1.0,
+        objType = NER.STATE_OR_PROVINCE)))
+    assert(bad.map(_.pred) == Seq("per:city_of_birth"))
+  }
+
+  test("entityPass is idempotent") {
+    val fills = Seq(
+      f("A", "per:city_of_birth", "Paris", 0.9),
+      f("A", "per:cities_of_residence", "Lyon", 0.7),
+      f("A", "per:title", "engineer", 0.8, objType = NER.TITLE))
+    val once = Consistency.entityPass(fills)
+    assert(Consistency.entityPass(once) == once)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nlp._
+import graft.model.NER
+
+class NlpSpec extends AnyFunSuite {
+
+  test("text extraction is byte-identical for every corpus page (html path)") {
+    val (pages, _) = graft.fixtures.PageGen.corpus(120)
+    pages.foreach { p =>
+      val fromHtml = TextExtractor.extract(null, p.html)
+      assert(fromHtml == p.text, s"byte mismatch for ${p.url}")
+      // identity path: text column wins verbatim
+      assert(TextExtractor.extract(p.text, p.html) eq p.text)
+    }
+  }
+
+  test("extraction handles entities, multibyte and numeric refs") {
+    val html = "<html><head><title>x</title></head><body><p>a &amp; b &lt;c&gt; café &#x4e2d;</p></body></html>"
+    assert(TextExtractor.extractHtml(html) == "a & b <c> café 中")
+    // escape/extract round-trip
+    val s = "5 < 6 & 7 > 2 — ümlauts"
+    assert(TextExtractor.extractHtml("<p>" + TextExtractor.escapeHtml(s) + "</p>") == s)
+  }
+
+  test("tokenizer: offsets, abbreviations, clitics, urls") {
+    val t = "Dr. Smith's site is https://www.x.com. Really."
+    val toks = Tokenizer.tokenize(t)
+    val words = toks.map(_.text)
+    assert(words == Vector("Dr.", "Smith", "'s", "site", "is",
+      "https://www.x.com", ".", "Really", "."))
+    // offsets reconstruct the original slices
+    toks.foreach(tok => assert(t.substring(tok.begin, tok.end).nonEmpty))
+  }
+
+  test("sentence splitting honors abbreviations and paragraph breaks") {
+    val t = "Acme Inc. was founded in 1990. It grew fast.\nNew paragraph here"
+    val toks = Tokenizer.tokenize(t)
+    val spans = Tokenizer.sentenceSpans(t, toks)
+    assert(spans.length == 3)
+  }
+
+  test("NER: gazetteer, dates with timex, person, org, acronym") {
+    val words = Vector("John", "Smith", "was", "born", "in", "Paris",
+      "on", "March", "3", ",", "1980", ".")
+    val tag = Ner.tag(words)
+    assert(tag.ner(0) == NER.PERSON && tag.ner(1) == NER.PERSON)
+    assert(tag.ner(5) == NER.CITY)
+    assert(tag.ner(7) == NER.DATE && tag.ner(10) == NER.DATE)
+    assert(tag.timex(7) == "1980-03-03")
+
+    val org = Ner.tag(Vector("Global", "Dynamics", "Avionics", "Inc.", "grew"))
+    assert((0 to 3).forall(i => org.ner(i) == NER.ORGANIZATION))
+    assert(org.ner(4) == "O")
+
+    val yr = Ner.tag(Vector("In", "1985", "he", "left"))
+    assert(yr.ner(1) == NER.DATE && yr.timex(1) == "1985-XX-XX")
+  }
+
+  test("coref: pronoun, surname and acronym antecedents") {
+    val s1 = (Vector("John", "Smith", "works", "at", "IBM", "."),
+      Array(NER.PERSON, NER.PERSON, "O", "O", NER.ORGANIZATION, "O"))
+    val s2 = (Vector("He", "likes", "Smith", "Lake", "."),
+      Array("O", "O", "O", "O", "O"))
+    val ante = Coref.resolve(IndexedSeq(s1, s2))
+    assert(ante(1)(0) == "John Smith") // He -> John Smith
+    assert(Coref.isAcronymOf("GDA", Seq("Global", "Dynamics", "Avionics")))
+    assert(!Coref.isAcronymOf("GD", Seq("Global", "Dynamics", "Avionics")))
+    assert(Coref.approxTokenMatch("companies", "company") ||
+      Coref.approxTokenMatch("Corp.", "Corp"))
+  }
+}
