@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // This sandbox VM demand-pages guest memory through a serialized host
+  // fault path (~77 MiB/s once warm memory is exhausted): any heap GROWTH
+  // mid-job stalls all 32 executor threads. Fix the heap size and
+  // pre-touch it once at JVM start so no page is ever faulted mid-stage.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq ++ Seq(
 )

@@ -254,12 +254,13 @@ object PageGen {
     opts(math.abs(i) % opts.size)
   }
 
-  /** Build one page (2-4 template sentences + 1 filler) and its gold. */
+  /** Build one page (2-4 template sentences + several fillers — realistic
+   *  Common-Crawl pages are KBs, not one-liners) and its gold. */
   def page(i: Int): (Page, Seq[Gold]) = {
     val ts = templates(i)
     val nSent = 2 + (i % 3)
     val chosen = (0 until nSent).map(k => ts((i + k * 7) % ts.size))
-    val sents = chosen.map(_._1) :+ filler(i)
+    val sents = chosen.map(_._1) ++ (0 until 5).map(k => filler(i + k))
     val text = sents.mkString(" ")
     val gold = chosen.flatMap(_._2)
     val url = s"https://site-${i % 97}.example/page-$i"

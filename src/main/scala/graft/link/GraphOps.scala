@@ -1,0 +1,93 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{SlotFill, Triple}
+
+/**
+ * Graph operators over the triples/edge table (SURVEY.md §2.9):
+ *  - G1 edge merge by noisy-or (in KGPipeline.triples)
+ *  - G3 transitive completion (TransitiveRelationPostProcessor)
+ *  - G4 symmetric expansion (in KGPipeline.symmetricExpand)
+ *  - G6 connected components (min-label propagation)
+ * The in-memory DirectedMultiGraph of the reference
+ * (nlp/graph/DirectedMultiGraph.java) is NOT ported: the edge table IS the
+ * graph; every op is a bounded sequence of joins.
+ */
+object GraphOps {
+
+  /** Relations the reference treats as transitive (subsidiary/parent
+   *  chains, member chains). */
+  val transitivePreds = Set("org:subsidiaries", "org:parents",
+    "org:member_of")
+
+  /** G3: bounded transitive completion — depth-limited iterative self-join
+   *  (test.graph.inference.depth = 3 in the reference's base.conf). New
+   *  edges score = product of the path's scores (noisy chain). */
+  def transitiveClosure(spark: SparkSession, edges: DataFrame,
+                        preds: Set[String] = transitivePreds,
+                        depth: Int = 3): DataFrame = {
+    import spark.implicits._
+    val base = edges.filter($"pred".isin(preds.toSeq: _*))
+      .select($"subj", $"pred", $"obj", $"score").distinct()
+    var acc = base
+    var frontier = base
+    var d = 1
+    while (d < depth) {
+      val next = frontier.as("a")
+        .join(base.as("b"),
+          $"a.obj" === $"b.subj" && $"a.pred" === $"b.pred" &&
+            $"a.subj" =!= $"b.obj")
+        .select($"a.subj".as("subj"), $"a.pred".as("pred"),
+          $"b.obj".as("obj"), ($"a.score" * $"b.score").as("score"))
+        .distinct()
+      val fresh = next.join(acc.select($"subj", $"pred", $"obj"),
+        Seq("subj", "pred", "obj"), "left_anti")
+      acc = acc.unionByName(fresh).persist()
+      if (fresh.isEmpty) d = depth else { frontier = fresh; d += 1 }
+    }
+    acc
+  }
+
+  /** G6: connected components over an undirected edge list
+   *  (src, dst) -> (vertex, component) with component = min vertex id
+   *  reachable; bounded min-label propagation (large-scale CC pattern). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val und = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist()
+    var labels = und.select($"src".as("v")).distinct()
+      .withColumn("comp", $"v")
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val next = und.join(labels.withColumnRenamed("v", "dst")
+          .withColumnRenamed("comp", "ncomp"), Seq("dst"))
+        .groupBy($"src".as("v")).agg(min($"ncomp").as("minNbr"))
+        .join(labels, Seq("v"))
+        .select($"v", least($"comp", $"minNbr").as("comp"))
+        .persist()
+      val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
+        .filter($"comp" =!= $"old").count()
+      labels = next
+      changed = diff > 0
+      i += 1
+    }
+    labels
+  }
+
+  /** C10 within-sentence competition (process/RelationFilter.java:23-160,
+   *  PerRelTypeCompetitionFilterComponent): keep only the best-scoring
+   *  pair per (sentence, relation) — opt-in, off by default in the
+   *  reference (Props.java:289-290). */
+  def relationFilter(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"prov.doc_id", $"prov.sent_idx", $"pred")
+      .orderBy($"score".desc, $"obj", $"subj")
+    fills.toDF().withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1).drop("_rn").as[SlotFill]
+  }
+}

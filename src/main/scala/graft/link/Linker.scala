@@ -80,7 +80,10 @@ object Linker {
         (if (NER.isEntityType(f.obj_type)) Seq((f.obj, f.obj_type)) else Nil)
     }.distinct()
 
-    // explode to blocking keys, cluster greedily per block
+    // explode to blocking keys, cluster greedily per block; PERSISTED —
+    // the propagation loop below re-joins `pairs` every iteration and
+    // without a persist each iteration would recompute the whole upstream
+    // (including the NLP stage)
     val pairs = names.flatMap { case (n, t) =>
       blockKeys(n, t).map(k => (k, n))
     }.groupByKey(_._1).flatMapGroups { (_, it) =>
@@ -95,38 +98,34 @@ object Linker {
           case None => reps += n; (n, n)
         }
       }
-    }.toDF("name", "rep")
+    }.toDF("name", "rep").persist()
 
-    // connected components: min-label propagation until fixpoint.
-    // label(name) = min over all reps reachable; bounded iterations.
-    var labels = pairs.groupBy($"name")
-      .agg(min($"rep").as("label")).persist()
-    labels.count()
-    var changed = true
+    // connected components: min-label propagation, FIXED 2 rounds
+    // (name -> min(rep), then propagate through the rep's own label —
+    // name-linking chains deeper than rep-of-rep don't occur; no
+    // per-iteration convergence count, each would be a full job).
+    // Deterministic by construction; one lazy plan, no eager actions.
+    var labels = pairs.groupBy($"name").agg(min($"rep").as("label"))
     var iter = 0
-    while (changed && iter < 10) {
-      // name -> label; rep side must converge too: propagate label of the
-      // rep-name to all names sharing that rep
-      val next = pairs
+    while (iter < 2) {
+      labels = pairs
         .join(labels.withColumnRenamed("name", "rep")
           .withColumnRenamed("label", "repLabel"), Seq("rep"))
         .groupBy($"name").agg(min($"repLabel").as("label"))
-        .persist()
-      val diff = next.join(labels.withColumnRenamed("label", "old"), Seq("name"))
-        .filter($"label" =!= $"old").count()
-      labels.unpersist()
-      labels = next
-      changed = diff > 0
       iter += 1
     }
-    labels.as[(String, String)]
+    // persisted: canonicalize broadcasts this map twice (subj + obj join)
+    labels.persist().as[(String, String)]
   }
 
   /** Rewrite subj/obj to canonical representatives. The alias map is small
    *  relative to the corpus (distinct entities), broadcast by AQE/hint. */
-  def canonicalize(spark: SparkSession, fills: Dataset[SlotFill])
+  def canonicalize(spark: SparkSession, fillsIn: Dataset[SlotFill])
       : Dataset[SlotFill] = {
     import spark.implicits._
+    // consumed twice (alias-map build + rewrite join): persist to cut the
+    // upstream (NLP -> bags -> consistency) to a single computation
+    val fills = fillsIn.persist()
     val aliases = buildAliasMap(spark, fills).toDF("name", "canon")
     val f = fills.toDF()
     val withSubj = f.join(broadcast(aliases).withColumnRenamed("name", "subj")

@@ -112,15 +112,30 @@ object KGPipeline {
       .as[Triple]
   }
 
-  /** Full run; with a TableIO each stage checkpoints and the job resumes
-   *  from the latest committed snapshot. */
+  /** Full run; with a TableIO each stage checkpoints (with per-partition
+   *  lineage columns) and the job resumes from the latest committed
+   *  snapshot; per-stage metrics land in a `metrics` table. */
   def run(spark: SparkSession, pages: Dataset[Page],
-          io: Option[TableIO] = None): Dataset[Triple] = {
+          io: Option[TableIO] = None,
+          runId: String = "run-0"): Dataset[Triple] = {
     import spark.implicits._
+    val metrics = Seq.newBuilder[(String, String, Long, Long)]
     def ckpt[T](table: String, ds: => Dataset[T], parts: Seq[String] = Nil)
                (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
       io match {
-        case Some(t) => t.stage(table, parts)(ds.toDF()).as[T]
+        case Some(t) =>
+          t.read(table) match {
+            case Some(df) => df.drop("_part_id", "_run_id").as[T]
+            case None =>
+              val t0 = System.nanoTime()
+              // per-partition lineage: which run wrote which partition
+              val df = t.write(table, ds.toDF()
+                .withColumn("_part_id", spark_partition_id())
+                .withColumn("_run_id", lit(runId)), parts)
+              metrics += ((runId, table, df.count(),
+                (System.nanoTime() - t0) / 1000000L))
+              df.drop("_part_id", "_run_id").as[T]
+          }
         case None => ds
       }
     val sents = ckpt("sentences", sentences(spark, pages))
@@ -129,6 +144,14 @@ object KGPipeline {
     val cons = ckpt("fills_consistent", consistent(spark, bags))
     val link = ckpt("fills_linked", linked(spark, cons))
     val sym = symmetricExpand(spark, link)
-    ckpt("triples", triples(spark, sym), Seq("pred"))
+    val out = ckpt("triples", triples(spark, sym), Seq("pred"))
+    io.foreach { t =>
+      val ms = metrics.result()
+      if (ms.nonEmpty)
+        t.write("metrics", ms.toDF("run_id", "stage", "rows", "millis")
+          .withColumn("rows_per_sec",
+            col("rows") / greatest(col("millis"), lit(1L)) * 1000))
+    }
+    out
   }
 }

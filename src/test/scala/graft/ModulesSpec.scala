@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.evaluate.Evaluate
+import graft.link.GraphOps
+import graft.sources.Readers
+import graft.io.OfficialOutput
+import graft.train.Trainer
+
+class ModulesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Evaluate.prf computes P/R/F1") {
+    val got = Seq(("A", "p", "x"), ("A", "p", "y"), ("B", "q", "z"))
+      .toDF("subj", "pred", "obj")
+    val gold = Seq(("A", "p", "x"), ("B", "q", "z"), ("C", "r", "w"))
+      .toDF("subj", "pred", "obj")
+    val row = Evaluate.prf(spark, got, gold).collect()(0)
+    assert(row.getAs[Long]("correct") == 2)
+    assert(math.abs(row.getAs[Double]("precision") - 2.0 / 3) < 1e-9)
+    assert(math.abs(row.getAs[Double]("recall") - 2.0 / 3) < 1e-9)
+  }
+
+  test("Evaluate.thresholdSweep: precision rises, recall falls with t") {
+    val scored = Seq(("A", "p", "x", 0.95), ("A", "p", "y", 0.55),
+      ("B", "p", "z", 0.15)).toDF("subj", "pred", "obj", "score")
+    val gold = Seq(("A", "p", "x")).toDF("subj", "pred", "obj")
+    val sweep = Evaluate.thresholdSweep(spark, scored, gold).collect()
+    val at09 = sweep.find(_.getAs[Double]("threshold") == 0.9).get
+    assert(at09.getAs[Long]("responses") == 1 &&
+      at09.getAs[Long]("correct") == 1)
+    val at01 = sweep.find(_.getAs[Double]("threshold") == 0.1).get
+    assert(at01.getAs[Long]("responses") == 3)
+  }
+
+  test("GraphOps.transitiveClosure completes bounded chains") {
+    val edges = Seq(
+      ("A", "org:subsidiaries", "B", 1.0),
+      ("B", "org:subsidiaries", "C", 1.0),
+      ("C", "org:subsidiaries", "D", 1.0),
+      ("A", "per:spouse", "E", 1.0)) // non-transitive pred: untouched
+      .toDF("subj", "pred", "obj", "score")
+    val closed = GraphOps.transitiveClosure(spark, edges, depth = 3)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(closed.contains(("A", "C")) && closed.contains(("B", "D")))
+    assert(closed.contains(("A", "D"))) // depth-3 path
+    assert(!closed.exists(_._2 == "E"))
+  }
+
+  test("GraphOps.connectedComponents finds min-label components") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val comp = GraphOps.connectedComponents(spark, edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
+    assert(comp("x") == "x" && comp("y") == "x")
+  }
+
+  test("Readers: query XML, gold key and KB TSV round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readers")
+    val xml = """<?xml version="1.0"?><kbpslotfill>
+      <query id="SF13_ENG_001"><name>John Smith</name><docid>doc-1</docid>
+      <enttype>PER</enttype><ignore>per:age per:title</ignore></query>
+      <query id="SF13_ENG_002"><name>Acme Corp</name><docid>doc-2</docid>
+      <enttype>ORG</enttype></query></kbpslotfill>"""
+    val xmlPath = dir.resolve("q.xml")
+    java.nio.file.Files.write(xmlPath, xml.getBytes("UTF-8"))
+    val qs = Readers.queryXml(spark, xmlPath.toString).collect()
+    assert(qs.length == 2)
+    assert(qs(0).name == "John Smith" && qs(0).ent_type == "PERSON")
+    assert(qs(0).ignored_preds == Seq("per:age", "per:title"))
+    assert(qs(1).ent_type == "ORGANIZATION" && qs(1).ignored_preds.isEmpty)
+
+    val goldPath = dir.resolve("gold.tsv")
+    java.nio.file.Files.write(goldPath,
+      "x\tSF13_ENG_001\tx\tper:title\tx\tx\tx\tx\tengineer\tx\t1\nx\tSF13_ENG_001\tx\tper:age\tx\tx\tx\tx\t44\tx\t-1\n"
+        .getBytes("UTF-8"))
+    val gold = Readers.goldKey(spark, goldPath.toString).collect()
+    assert(gold.count(_.getAs[Boolean]("correct")) == 1)
+
+    val kbPath = dir.resolve("kb.tsv")
+    java.nio.file.Files.write(kbPath,
+      "John Smith\tper:title\tengineer\n".getBytes("UTF-8"))
+    assert(Readers.kbTuples(spark, kbPath.toString).count() == 1)
+  }
+
+  test("OfficialOutput rows: sorted, canonical names, provenance attached") {
+    val (pages, _) = graft.fixtures.PageGen.corpus(20)
+    val triples = graft.pipeline.KGPipeline.run(spark,
+      spark.createDataset(pages))
+    val rows = OfficialOutput.rows(triples, "graft-r1").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("run_id") == "graft-r1"))
+    assert(rows.forall(r => r.getAs[String]("provenance").contains(":")))
+    // sorted by (subj, pred, slot_value)
+    val keys = rows.map(r => (r.getAs[String]("subj"),
+      r.getAs[String]("pred"), r.getAs[String]("slot_value")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("Trainer: threshold + subsample + one-vs-all LR learns a trigger") {
+    val (pages, gold) = graft.fixtures.PageGen.corpus(30)
+    val kb = gold.toSeq.map(g => (g.subj, g.pred, g.obj))
+      .toDF("subj", "pred", "obj")
+      // train on the canonical (pre-official-rename) relation name space
+      .withColumn("pred", when($"pred" === "per:employee_or_member_of",
+        "per:employee_of").otherwise($"pred"))
+    val weights = Trainer.train(spark, spark.createDataset(pages), kb,
+      Seq("per:title"))
+    assert(weights.contains("per:title"))
+    assert(weights("per:title").numNonzeros > 0)
+  }
+
+  test("RelationFilter keeps best pair per (sentence, relation)") {
+    import graft.model.{NER, Provenance, SlotFill}
+    val p1 = Provenance("d", "u", 0, 0, 1, 2, 3)
+    val fills = Seq(
+      SlotFill("A", NER.PERSON, "per:title", "engineer", NER.TITLE, 0.9, p1),
+      SlotFill("B", NER.PERSON, "per:title", "lawyer", NER.TITLE, 0.7, p1),
+      SlotFill("A", NER.PERSON, "per:spouse", "C D", NER.PERSON, 0.8, p1))
+    val out = GraphOps.relationFilter(spark, spark.createDataset(fills))
+      .collect()
+    assert(out.length == 2)
+    assert(out.exists(f => f.pred == "per:title" && f.obj == "engineer"))
+  }
+}
