@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle/spill on tmpfs: the sandbox's virtual disk serializes
+  // concurrent shuffle I/O (125 GiB RAM available)
+  "-Dspark.local.dir=/dev/shm/graft-spark",
   // This sandbox VM demand-pages guest memory through a serialized host
   // fault path (~77 MiB/s once warm memory is exhausted): any heap GROWTH
   // mid-job stalls all 32 executor threads. Fix the heap size and

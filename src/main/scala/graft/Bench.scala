@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        sys.props.getOrElse("spark.local.dir", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -78,15 +80,18 @@ object Bench {
     // input size (fixed scheduler/driver overhead amortized away — at real
     // cluster scale the NLP/extraction stages dominate the same way)
     val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "300000").toInt
+    // min-of-2 per parallelism: the sandbox host has intermittent
+    // throttling windows; min is the machine's true capability
+    def minRun(cpus: Int): Double = {
+      val s = session(cpus)
+      kgRun(s, 1000) // warm the fresh session's codegen paths
+      val t = (1 to 2).map(_ => kgRun(s, scalePages)._2).min
+      s.stop()
+      t
+    }
     spark.stop()
-    spark = session(8)
-    kgRun(spark, 1000) // warm the fresh session's codegen paths
-    val (_, sec8) = kgRun(spark, scalePages)
-    spark.stop()
-    spark = session(32)
-    kgRun(spark, 1000)
-    val (_, sec32) = kgRun(spark, scalePages)
-    spark.stop()
+    val sec8 = minRun(8)
+    val sec32 = minRun(32)
     val thr8 = scalePages / sec8
     val thr32 = scalePages / sec32
     val eff = (thr32 / thr8) / 4.0

@@ -280,6 +280,25 @@ object SparkEntry {
     }),
     "q23_media_features" -> q((s, d) =>
       graft.multimodal.Multimodal.featureQuery(s, d)),
+    "q24_embed_neardup" -> q((s, d) => {
+      import s.implicits._
+      graft.dedup.NearDup.embeddingCosine(s, t(s, d, "embeddings"),
+        threshold = 0.5).select($"v1", $"v2", round($"cos", 5).as("cos"))
+        .orderBy($"v1", $"v2")
+    }),
+    "q25_ngram_jaccard" -> q((s, d) => {
+      import s.implicits._
+      graft.dedup.NearDup.ngramJaccard(s, t(s, d, "documents"),
+        n = 3, threshold = 0.2)
+        .select($"d1", $"d2", round($"jaccard", 5).as("jaccard"))
+        .orderBy($"d1", $"d2")
+    }),
+    "q26_text_quality" -> q((s, d) => {
+      import s.implicits._
+      graft.text.TextStats.quality(t(s, d, "documents"))
+        .select($"doc_id", $"n_tokens", $"quality_ok")
+        .orderBy($"doc_id")
+    }),
     "q30_kg_triples" -> q((s, _) => {
       import s.implicits._
       val (pages, _) = graft.fixtures.PageGen.corpus(120)

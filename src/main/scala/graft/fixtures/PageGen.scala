@@ -62,22 +62,36 @@ object PageGen {
     "Telecom")
   private val orgSuf = Seq("Inc.", "Corp.", "Group", "Ltd.")
 
-  // ---- entity universes (injective within fixture scale)
+  // ---- entity universes (injective at ANY corpus scale: beyond the base
+  // combination space a deterministic letter suffix distinguishes names —
+  // a real web corpus's entity universe grows with the corpus, and a
+  // capped universe would make the per-entity pipeline stages
+  // artificially constant-size)
+  private def letterSuffix(m: Int): String = {
+    if (m <= 0) ""
+    else {
+      var x = m; val sb = new StringBuilder
+      while (x > 0) { sb.append(('a' + (x % 26)).toChar); x /= 26 }
+      sb.toString
+    }
+  }
+  private val personPeriod = 8000 // firstList(100) x lastList(80) mix period
   def person(k: Int): String = {
     val i = math.abs(k)
     firstList(i % firstList.size) + " " +
-      lastList((i / firstList.size + i) % lastList.size)
+      lastList((i / firstList.size + i) % lastList.size) +
+      letterSuffix(i / personPeriod)
   }
-  /** Injective for i < 800; names differ in a non-strippable token. */
+  /** Names differ in a non-strippable token at every scale. */
   def org(k: Int): String = {
     val i = math.abs(k)
     orgAdj(i % 10) + " " + orgNoun((i / 10) % 10) + " " +
-      orgNoun2((i / 100) % 8) + " " + orgSuf(i % 4)
+      orgNoun2((i / 100) % 8) + letterSuffix(i / 800) + " " + orgSuf(i % 4)
   }
   private def aliasOf(k: Int): String = {
     val i = math.abs(k)
     orgAdj(i % 10) + " " + orgNoun((i / 10) % 10) + " " +
-      orgNoun2((i / 100) % 8) + " Holdings"
+      orgNoun2((i / 100) % 8) + letterSuffix(i / 800) + " Holdings"
   }
   private def city(k: Int) = cityList(math.abs(k) % cityList.size)
   private def stateOf(c: String) = Gazetteers.cities(c)._1
@@ -272,8 +286,8 @@ object PageGen {
     (Page(url, warcTs, html, text, lang), if (lang == "en") gold else Nil)
   }
 
-  /** n pages + deduplicated gold triple set. Keep n ≤ 790 so org names stay
-   *  injective (indexes reach n+6). */
+  /** n pages + deduplicated gold triple set (entity names injective at any
+   *  n). */
   def corpus(n: Int): (Seq[Page], Set[Gold]) = {
     val all = (0 until n).map(page)
     (all.map(_._1), all.flatMap(_._2).toSet)

@@ -83,7 +83,14 @@ object Linker {
     // explode to blocking keys, cluster greedily per block; PERSISTED —
     // the propagation loop below re-joins `pairs` every iteration and
     // without a persist each iteration would recompute the whole upstream
-    // (including the NLP stage)
+    // (including the NLP stage). Only NON-IDENTITY pairs are emitted: a
+    // name with no row is its own canonical form, which keeps the
+    // propagation join and the downstream broadcast proportional to the
+    // number of actual aliases, not the entity universe.
+    val maxBlock = 256 // hot-key guard: a blocking key shared by hundreds
+    // of distinct entities (e.g. a popular acronym shape) is a weak signal
+    // and would make the in-block greedy pass quadratic — skip it, the
+    // frequency-capped-blocking-key standard at scale
     val pairs = names.flatMap { case (n, t) =>
       blockKeys(n, t).map(k => (k, n))
     }.groupByKey(_._1).flatMapGroups { (_, it) =>
@@ -91,11 +98,14 @@ object Linker {
       // surface forms), then lexicographic
       val members = it.map(_._2).toVector.distinct
         .sortBy(n => (-n.length, n))
-      val reps = scala.collection.mutable.ArrayBuffer[String]()
-      members.map { n =>
-        reps.find(r => sameEntity(r, n)) match {
-          case Some(r) => (n, r)
-          case None => reps += n; (n, n)
+      if (members.length > maxBlock) Iterator.empty
+      else {
+        val reps = scala.collection.mutable.ArrayBuffer[String]()
+        members.iterator.flatMap { n =>
+          reps.find(r => sameEntity(r, n)) match {
+            case Some(r) => Some((n, r))
+            case None => reps += n; None // identity: no row needed
+          }
         }
       }
     }.toDF("name", "rep").persist()
@@ -104,18 +114,21 @@ object Linker {
     // (name -> min(rep), then propagate through the rep's own label —
     // name-linking chains deeper than rep-of-rep don't occur; no
     // per-iteration convergence count, each would be a full job).
-    // Deterministic by construction; one lazy plan, no eager actions.
+    // A rep with no alias row of its own is its own label (left join +
+    // coalesce). Deterministic by construction.
     var labels = pairs.groupBy($"name").agg(min($"rep").as("label"))
     var iter = 0
     while (iter < 2) {
       labels = pairs
-        .join(labels.withColumnRenamed("name", "rep")
-          .withColumnRenamed("label", "repLabel"), Seq("rep"))
-        .groupBy($"name").agg(min($"repLabel").as("label"))
+        .join(labels.select($"name".as("rep"), $"label".as("repLabel")),
+          Seq("rep"), "left")
+        .groupBy($"name")
+        .agg(min(coalesce($"repLabel", $"rep")).as("label"))
       iter += 1
     }
-    // persisted: canonicalize broadcasts this map twice (subj + obj join)
-    labels.persist().as[(String, String)]
+    // only true renames survive; persisted because canonicalize broadcasts
+    // this map twice (subj + obj join)
+    labels.filter($"name" =!= $"label").persist().as[(String, String)]
   }
 
   /** Rewrite subj/obj to canonical representatives. The alias map is small

@@ -7,6 +7,7 @@ object ScaleOnly {
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", "/dev/shm/graft-spark")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       import spark.implicits._

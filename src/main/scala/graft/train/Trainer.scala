@@ -80,6 +80,27 @@ object Trainer {
     out
   }
 
+  /** K3 model serialization: weights as a parquet table (rel, idx, w) —
+   *  loadable into a broadcast map on any cluster (replaces the
+   *  reference's Java serialization, classify/RelationClassifier.java:94-107). */
+  def saveWeights(spark: SparkSession,
+                  weights: Map[String, org.apache.spark.ml.linalg.Vector],
+                  path: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.flatMap { case (rel, v) =>
+      v.toArray.zipWithIndex.collect { case (w, i) if w != 0.0 => (rel, i, w) }
+    }.toDF("rel", "idx", "weight").write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: SparkSession, path: String)
+      : Map[String, Map[Int, Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[(String, Int, Double)].collect()
+      .groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      }
+  }
+
   /** Full training pass over a pages corpus; rels defaults to the ones
    *  present in the KB. */
   def train(spark: SparkSession, pages: Dataset[graft.model.Page],

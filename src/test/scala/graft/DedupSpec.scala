@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.{NearDup, SimHash}
+import graft.extract.BagAgg
+import graft.model.{NER, Provenance, SlotFill}
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val d = NearDup.exact(docs).collect()
+    assert(d.length == 3)
+    val dup = d.find(_.getAs[Long]("n") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram Jaccard finds the near-dup pair and not the distinct one") {
+    val pairs = NearDup.ngramJaccard(spark, docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup -> jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup pairs within small hamming distance") {
+    val pairs = SimHash.nearDupPairs(docs, maxDist = 12).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 4L))) // identical -> distance 0
+    assert(SimHash.hamming(SimHash.simhash64(Seq("a", "b", "c")),
+      SimHash.simhash64(Seq("a", "b", "c"))) == 0)
+  }
+
+  test("embedding cosine near-dup finds identical vectors via LSH buckets") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)), // identical
+      (3L, Array(-1.0f, 0.9f, -0.5f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = NearDup.embeddingCosine(spark, emb, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("bag aggregation modes: noisy-or >= max >= any single p; sum capped") {
+    val p = Provenance("d", "u", 0, 0, 1, 2, 3)
+    val fills = Seq(0.4, 0.5, 0.6).map(sc =>
+      SlotFill("A", NER.PERSON, "per:title", "x", NER.TITLE, sc, p))
+    val ds = spark.createDataset(fills)
+    val no = BagAgg.aggregate(spark, ds, BagAgg.NoisyOr).collect()(0).score
+    val mx = BagAgg.aggregate(spark, ds, BagAgg.Max).collect()(0).score
+    val sm = BagAgg.aggregate(spark, ds, BagAgg.Sum).collect()(0).score
+    assert(math.abs(mx - 0.6) < 1e-12)
+    assert(no > mx && no < 1.0)
+    assert(sm == 1.0) // 1.5 capped
+  }
+
+  test("softmax normalization sums to 1 within a bag") {
+    val df = Seq(("A", "x", 0.9), ("A", "x", 0.3), ("B", "y", 0.7))
+      .toDF("subj", "obj", "score")
+    val out = BagAgg.softmaxNormalize(df)
+    val sums = out.groupBy($"subj").agg(sum($"score").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9))
+  }
+
+  test("rule inference derives bounded transitive facts") {
+    val edges = Seq(
+      ("A", "org:subsidiaries", "B", 1.0),
+      ("B", "org:subsidiaries", "C", 0.9),
+      ("C", "org:top_members/employees", "P Q", 1.0))
+      .toDF("subj", "pred", "obj", "score")
+    val out = graft.link.RuleInference.infer(spark, edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out.contains(("A", "org:subsidiaries", "C")))
+    assert(out.contains(("B", "org:top_members/employees", "P Q")))
+  }
+
+  test("trainer weights round-trip through parquet") {
+    import org.apache.spark.ml.linalg.Vectors
+    val w = Map("per:title" -> Vectors.sparse(8, Seq((1, 0.5), (3, -0.2))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-w").toString + "/w"
+    graft.train.Trainer.saveWeights(spark, w, dir)
+    val back = graft.train.Trainer.loadWeights(spark, dir)
+    assert(back("per:title") == Map(1 -> 0.5, 3 -> -0.2))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene: the plans we'd want at 100 TB, asserted
+ *  (SURVEY.md §4) — pushdown reaches the scan, small dims broadcast,
+ *  column ops stay inside whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val plan = SparkEntry.queries("q05_star_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("aggregation query runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing")(spark, dir)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's final-plan format prints WholeStageCodegen stages as "*(n)"
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no WSCG:\n$plan")
+  }
+
+  test("pipeline shuffle count stays bounded (distinct exchanges)") {
+    import spark.implicits._
+    val (pages, _) = graft.fixtures.PageGen.corpus(10)
+    val tri = graft.pipeline.KGPipeline.run(spark, spark.createDataset(pages))
+    tri.collect()
+    val plan = tri.queryExecution.executedPlan.toString
+    // the textual plan repeats shared subtrees (the alias map feeds two
+    // joins) — count DISTINCT physical exchanges by plan_id
+    val ids = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    // 14 today: bag agg + entity group + final merge + the linker's
+    // distinct/block/2-round-propagation internals; regression guard only
+    assert(ids.size <= 16, s"exchange explosion (${ids.size}):\n$plan")
+    assert(plan.contains("BroadcastExchange"), "alias map not broadcast")
+  }
+
+  test("the full official ontology is extracted end-to-end") {
+    import spark.implicits._
+    val (pages, gold) = graft.fixtures.PageGen.corpus(120)
+    // every canonical relation, canonicalized to its official 2013 name
+    // (member_of + employee_of merge into employee_or_member_of)
+    val expected = graft.model.Relations.names
+      .map(graft.model.Relations.officialName).toSet
+    val goldPreds = gold.map(_.pred)
+    assert(goldPreds == expected,
+      s"gold/ontology mismatch: missing=${expected -- goldPreds} extra=${goldPreds -- expected}")
+    val got = graft.pipeline.KGPipeline.run(spark, spark.createDataset(pages))
+      .select("pred").distinct().as[String].collect().toSet
+    assert(goldPreds.subsetOf(got),
+      s"missing relations: ${goldPreds -- got}")
+  }
+}
