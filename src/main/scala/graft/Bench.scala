@@ -44,6 +44,10 @@ object Bench {
     val (c, sec) = time {
       graft.pipeline.KGPipeline.run(spark, pagesDs(spark, n)).count()
     }
+    // the linker persists its input fills for the duration of one run;
+    // looped runs in one session must not accumulate cached blocks
+    // (aggravated by the fixed pre-touched heap — no headroom to leak into)
+    spark.sharedState.cacheManager.clearCache()
     (c, sec)
   }
 

@@ -199,11 +199,18 @@ object SparkEntry {
     "q18_docs_jaccard" -> q((s, d) => {
       import s.implicits._
       // word-set Jaccard near-dup join (shingle n=1): explode -> distinct ->
-      // self-join on shared token -> |∩|/|∪| — the scalable shape: only
-      // docs sharing a token are ever paired
-      val w = t(s, d, "documents")
+      // df-cap -> self-join on shared token -> |∩|/|∪|. The doc-frequency
+      // cap drops stop-words shared by >maxDf docs BEFORE the self-join —
+      // without it the join is quadratic on ubiquitous tokens (the library
+      // twin NearDup.ngramJaccard applies the same cap); set sizes are
+      // computed on the SAME capped token sets so the oracle mirrors exactly
+      val maxDf = 100
+      val wAll = t(s, d, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("word"))
         .distinct()
+      val rare = wAll.groupBy($"word").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxDf)
+      val w = wAll.join(rare.select($"word"), Seq("word"), "left_semi")
       val sz = w.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = w.as("a").join(w.as("b"),
           $"a.word" === $"b.word" && $"a.doc_id" < $"b.doc_id")
@@ -271,7 +278,10 @@ object SparkEntry {
       }.reduce(_ + _)
       e.withColumn("bucket", bits)
         .groupBy($"bucket").agg(count(lit(1)).as("n"),
-          collect_list($"vec_id").as("members"))
+          // sorted string join, not a raw ARRAY: keeps the column hashable
+          // for the driver's pandas compare AND order-deterministic
+          array_join(transform(sort_array(collect_list($"vec_id")),
+            v => v.cast("string")), ",").as("members"))
         .orderBy($"bucket")
     }),
     "q22_simhash" -> q((s, d) => {
@@ -282,8 +292,12 @@ object SparkEntry {
       graft.multimodal.Multimodal.featureQuery(s, d)),
     "q24_embed_neardup" -> q((s, d) => {
       import s.implicits._
+      // 8 bits / low threshold at sf scale so the oracle compares real
+      // rows (12+ bits is the ≥10^8-vector configuration — bits scale
+      // with log(n))
       graft.dedup.NearDup.embeddingCosine(s, t(s, d, "embeddings"),
-        threshold = 0.5).select($"v1", $"v2", round($"cos", 5).as("cos"))
+        threshold = 0.3, bits = 8)
+        .select($"v1", $"v2", round($"cos", 5).as("cos"))
         .orderBy($"v1", $"v2")
     }),
     "q25_ngram_jaccard" -> q((s, d) => {
@@ -405,7 +419,9 @@ object SparkEntry {
               ELSE 'und' END AS pred_lang,
          lang FROM documents ORDER BY doc_id""",
     "q18_docs_jaccard" ->
-      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      """WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         rare AS (SELECT word FROM (SELECT word, count(*) AS df FROM w0 GROUP BY 1) WHERE df <= 100),
+         w AS (SELECT w0.doc_id, w0.word FROM w0 JOIN rare USING (word)),
          sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
                    FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
@@ -436,6 +452,69 @@ object SparkEntry {
                  sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
                FROM z GROUP BY 1)
          SELECT vec_id, round(dot / sqrt(na * nb), 5) AS cos
-         FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
+         FROM s ORDER BY cos DESC, vec_id LIMIT 10""",
+    // SRP-LSH bucketing (q21): same fixed hyperplanes ((i*31 + j*17) % 7 - 3)
+    // as the Spark side; members as a sorted string join so the column stays
+    // hashable for the driver's pandas compare
+    "q21_embed_ann_lsh" ->
+      """WITH z AS (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(len(embedding))) AS i FROM embeddings),
+         jj AS (SELECT unnest(range(8)) AS j),
+         p AS (SELECT vec_id, j,
+                 sum(CAST(x AS DOUBLE) * (CAST((i*31 + j*17) % 7 AS DOUBLE) - 3.0)) AS proj
+               FROM z CROSS JOIN jj GROUP BY 1, 2),
+         b AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN proj >= 0 THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END) AS INTEGER) AS bucket
+               FROM p GROUP BY 1)
+         SELECT bucket, count(*) AS n,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q24_embed_neardup" ->
+      """WITH z AS (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(len(embedding))) AS i FROM embeddings),
+         jj AS (SELECT unnest(range(8)) AS j),
+         p AS (SELECT vec_id, j,
+                 sum(CAST(x AS DOUBLE) * (CAST((i*31 + j*17) % 7 AS DOUBLE) - 3.0)) AS proj
+               FROM z CROSS JOIN jj GROUP BY 1, 2),
+         b AS (SELECT vec_id,
+                 sum(CASE WHEN proj >= 0 THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END) AS bucket
+               FROM p GROUP BY 1),
+         pr AS (SELECT x.vec_id AS v1, y.vec_id AS v2
+                FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         u AS (SELECT pr.v1, pr.v2, unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+               FROM pr JOIN embeddings ea ON pr.v1 = ea.vec_id
+                       JOIN embeddings eb ON pr.v2 = eb.vec_id),
+         c AS (SELECT v1, v2,
+                 sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+                 sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+                 sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+               FROM u GROUP BY 1, 2)
+         SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 5) AS cos
+         FROM c WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3 ORDER BY v1, v2""",
+    "q25_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh0 AS (SELECT doc_id,
+                   unnest(list_transform(range(greatest(len(w) - 3, 0) + 1),
+                     i -> array_to_string(w[i + 1 : i + 3], ' '))) AS shingle
+                 FROM ws),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+                  WHERE df <= 1000),
+         w AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                   FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 5) AS jaccard
+         FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2 ORDER BY d1, d2""",
+    "q26_text_quality" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+         (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) > 0.6
+          AND len(regexp_extract_all(text, '\S+')) >= 5
+          AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / greatest(len(regexp_extract_all(text, '\S+')), 1) < 15) AS quality_ok
+         FROM documents ORDER BY doc_id"""
   )
 }

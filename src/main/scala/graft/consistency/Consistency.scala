@@ -26,6 +26,10 @@ object Consistency {
     "per:country_of_death", "per:countries_of_residence",
     "org:country_of_headquarters")
   private val datePredsNoYearOk = Set("per:date_of_death", "org:dissolved")
+  /** X5 invalid-title stop-set (ConformToGuidelinesFilter,
+   *  HeuristicSlotfillPostProcessors.java:180-186,223). */
+  private val invalidTitles = Set("senior leader", "leader", "member",
+    "hero", "socialite")
 
   /** Character 4-gram overlap used by FilterUnrelatedURL
    *  (HeuristicSlotfillPostProcessors.java:255-295). */
@@ -77,6 +81,9 @@ object Consistency {
       Gazetteers.nationalities.get(fill.obj).foreach { c =>
         fill = fill.copy(obj = c, obj_type = NER.COUNTRY)
       }
+    // X5 invalid-title stop-set (:223)
+    if (fill.pred == "per:title" &&
+        invalidTitles.contains(fill.obj.toLowerCase)) return None
     // per:origin: nationality kept as-is (valid fill type)
     // X1 FilterUnrelatedURL (:255-295)
     if (fill.pred == "org:website") {
@@ -99,49 +106,75 @@ object Consistency {
     }
   }
 
-  /** X13-X18 + X12-pairwise: within-entity global pass. Pure function of one
-   *  entity's fills (already unary-filtered), deterministic order. */
-  def entityPass(fillsIn: Seq[SlotFill]): Seq[SlotFill] = {
-    var fills = fillsIn.sorted(fillOrdering)
+  /** Representatives scanned per (pred) group in X14's approximate-dup
+   *  check: bounds a degenerate entity with 10^5+ DISTINCT same-pred fills
+   *  to a linear pass (beyond the cap, fills are kept — recall-safe). */
+  val MaxApproxScan = 256
 
-    // X13 NoDuplicates (:506-515): exact (pred, obj) dedup, keep best score
-    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
-      if (acc.exists(g => g.pred == f.pred && g.obj == f.obj)) acc
-      else acc :+ f
-    }
+  /** X13-X18 + X12-pairwise: within-entity global pass. Pure function of one
+   *  entity's fills (already unary-filtered), deterministic order.
+   *
+   *  Runs AFTER entity linking, grouped by CANONICAL subject — the
+   *  reference applies slotfill post-processing per canonical entity
+   *  (InferentialSlotFiller.java:122-165: merge -> symmetric -> pass 2) —
+   *  so a canonical entity assembled from two surface forms cannot carry
+   *  conflicting SINGLE-cardinality fills.
+   *
+   *  Every check is hash-map based (single sorted pass, no quadratic
+   *  accumulator scans): a hot subject with 10^5-10^6 fills is one LINEAR
+   *  task, not a 10^10-comparison straggler. */
+  def entityPass(fillsIn: Seq[SlotFill]): Seq[SlotFill] = {
+    val sorted = fillsIn.sorted(fillOrdering)
+
+    // X13 NoDuplicates (:506-515): exact (pred, obj) dedup, keep best
+    // score (first in sorted order)
+    val x13seen = scala.collection.mutable.HashSet[(String, String)]()
+    var fills = sorted.filter(f => x13seen.add((f.pred, f.obj)))
+
     // X13b: per:employee_of dies if same obj exists under per:member_of
-    fills = fills.filterNot(f => f.pred == "per:employee_of" &&
-      fills.exists(g => g.pred == "per:member_of" && g.obj == f.obj))
+    val memberObjs = fills.iterator
+      .filter(_.pred == "per:member_of").map(_.obj).toSet
+    if (memberObjs.nonEmpty)
+      fills = fills.filterNot(f =>
+        f.pred == "per:employee_of" && memberObjs.contains(f.obj))
 
     // X14 NoDuplicatesApproximate (:518-573): same pred, two objs that link
-    // as the same entity -> kill the lower-scoring one
-    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
-      val dup = acc.exists(g => g.pred == f.pred && g.obj != f.obj &&
-        sameValue(g.obj, f.obj))
-      if (dup) acc else acc :+ f
+    // as the same entity -> kill the lower-scoring one (compare against the
+    // accumulated survivors of the SAME pred, scan capped for degeneracy)
+    val survivors = scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[String]]()
+    fills = fills.filter { f =>
+      val objs = survivors.getOrElseUpdate(f.pred,
+        scala.collection.mutable.ArrayBuffer[String]())
+      val dup = objs.iterator.take(MaxApproxScan)
+        .exists(o => o != f.obj && sameValue(o, f.obj))
+      if (!dup) objs += f.obj
+      !dup
     }
 
     // X15 DuplicateRelationOnlyInListRelations (:576-598): SINGLE relations
     // keep only the top fill (argmax per (entity, pred))
-    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
-      if (Relations.singleValued.contains(f.pred) &&
-          acc.exists(_.pred == f.pred)) acc
-      else acc :+ f
-    }
+    val singleSeen = scala.collection.mutable.HashSet[String]()
+    fills = fills.filter(f =>
+      !Relations.singleValued.contains(f.pred) || singleSeen.add(f.pred))
 
     // X16 RespectDeclaredIncompatibilities (:610-625): same obj under two
-    // preds -> lower dies unless plausiblyCooccursWith
-    fills = fills.foldLeft(Vector.empty[SlotFill]) { (acc, f) =>
-      val clash = acc.exists(g => g.obj == f.obj && g.pred != f.pred &&
-        !Relations.plausibleOverlap.contains((g.pred, f.pred)))
-      if (clash) acc else acc :+ f
+    // preds -> lower dies unless plausiblyCooccursWith every kept pred
+    val objPreds = scala.collection.mutable.HashMap[String, List[String]]()
+    fills = fills.filter { f =>
+      val ps = objPreds.getOrElse(f.obj, Nil)
+      val clash = ps.exists(p => p != f.pred &&
+        !Relations.plausibleOverlap.contains((p, f.pred)))
+      if (!clash) objPreds(f.obj) = f.pred :: ps
+      !clash
     }
 
-    // X18 RemoveLowWeightRelationUnlessOnlyOneOfType (:601-607)
-    fills = fills.filter { f =>
-      f.score >= 0.01 || !fills.exists(g => g.pred == f.pred &&
-        g.score > f.score)
-    }
+    // X18 RemoveLowWeightRelationUnlessOnlyOneOfType (:601-607): keep if
+    // score >= 0.01 or f is its pred's best (sorted order: first per pred)
+    val bestScore = scala.collection.mutable.HashMap[String, Double]()
+    fills.foreach(f =>
+      if (!bestScore.contains(f.pred)) bestScore(f.pred) = f.score)
+    fills = fills.filter(f => f.score >= 0.01 || f.score >= bestScore(f.pred))
 
     // X17 MitigateLocOfDeath (:636-655): location-of-death requires a
     // per:date_of_death fill

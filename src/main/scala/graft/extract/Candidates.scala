@@ -48,11 +48,12 @@ object Candidates {
             val entFirst = ent.e <= slot.b
             val (lo, hi) = if (entFirst) (ent.e, slot.b) else (slot.e, ent.b)
             val between = (lo until hi).map(words(_)).toArray
+            val betweenLc = between.map(_.toLowerCase)
             // pattern hits computed here where the raw ordered between-window
             // is available; carried as rule=<rel> / trigger=<rel> features so
             // scoring stays a pure function of the feature vector.
             val (ruleHits, triggerHits) = Patterns.matchBoth(ent.ner,
-              slot.ner, entFirst, between.map(_.toLowerCase))
+              slot.ner, entFirst, betweenLc)
             out += Candidate(
               subj = ent.normalized,
               subj_type = ent.ner,
@@ -64,7 +65,8 @@ object Candidates {
               features = featurize(ent.ner, slot.ner, entFirst, dist,
                 between, words, ent.b, ent.e, slot.b, slot.e) ++
                 triggerHits.map(rel => s"trigger=$rel") ++
-                ruleHits.map(rel => s"rule=$rel"))
+                ruleHits.map(rel => s"rule=$rel"),
+              between = betweenLc.toSeq)
           }
         }
       }

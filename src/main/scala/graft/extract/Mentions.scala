@@ -92,10 +92,22 @@ object Mentions {
         // trim trailing function words (SlotMentionAnnotator trim rule)
         var e = j
         while (e > i && TrimPos.contains(toks(e - 1).pos)) e -= 1
-        if (e > i && !overlapsEntity(i, e) && closeEnough(i, e)) {
-          val surface = (i until e).map(toks(_).word).mkString(" ")
-          val norm = normalize(tag, surface, toks(i).antecedent, toks(i).timex)
-          slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", i, e, tag,
+        // X9 ExpandToMaximalPhraseRewrite
+        // (HeuristicSlotfillPostProcessors.java:370-422): a TITLE fill
+        // absorbs the preceding common-noun run (tag n*, not NNP, no NE),
+        // then refuses to start on a conjunction — "software engineer",
+        // not "engineer". Applied at mention time where the tokens are in
+        // hand (the reference rewrites post-hoc through provenance).
+        var b = i
+        if (tag == NER.TITLE) {
+          while (b > 0 && toks(b - 1).pos == "NN" && toks(b - 1).ner == "O")
+            b -= 1
+          while (b < i && toks(b).pos == "CC") b += 1
+        }
+        if (e > b && !overlapsEntity(b, e) && closeEnough(b, e)) {
+          val surface = (b until e).map(toks(_).word).mkString(" ")
+          val norm = normalize(tag, surface, toks(b).antecedent, toks(b).timex)
+          slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", b, e, tag,
             surface, norm)
         }
         i = j

@@ -56,7 +56,7 @@ object Patterns {
     "practices", "converted to", "adheres to",
     "chief executive officer of", "ceo of", "president of",
     "chairman of", "director of", "head of", "led by", "headed by",
-    "run by", "citizen of", "native of", "sibling of")
+    "run by", "citizen of", "native of", "sibling of", "raised in")
 
   private def r(rel: String, dir: Int, maxDist: Int, phrases: String*): Seq[Rule] =
     phrases.map(p => Rule(rel, p, dir, maxDist, Set.empty, endAnchored(p)))
@@ -90,7 +90,12 @@ object Patterns {
       "nicknamed") ++
     // --- birth / death / residence (objType-restricted: a shared phrase
     // like "born in" routes by the slot's NER type)
-    rt("per:city_of_birth", 1, 15, NER.CITY, "born in", "born at") ++
+    // "raised in" is an AMBIGUOUS birth-ish phrase on purpose: it proposes
+    // city_of_birth here and the X11 BornInRewrite pass (Scorer.betweenPass,
+    // HeuristicSlotfillPostProcessors.java:453-499) rewrites it to
+    // cities_of_residence because "raised" is a residence keyword
+    rt("per:city_of_birth", 1, 15, NER.CITY, "born in", "born at",
+      "raised in") ++
     rt("per:stateorprovince_of_birth", 1, 15, NER.STATE_OR_PROVINCE, "born in") ++
     rt("per:country_of_birth", 1, 15, NER.COUNTRY, "born in") ++
     r("per:date_of_birth", 1, 20, "born") ++

@@ -46,18 +46,69 @@ object Scorer {
     sigmoid(s)
   }
 
+  /** X5 stop-sets (ConformToGuidelinesFilter,
+   *  HeuristicSlotfillPostProcessors.java:167-186): between-span phrases
+   *  that invalidate a top-employee / org-alt-name justification. */
+  val invalidTopEmployeeJustification: Set[String] = Set(
+    "spokesperson", "spokesman", "spokeswoman", "chief customer officer",
+    "cco", "information officer", "chief compliance officer", "frontman",
+    "secretary of information", "supreme court justice",
+    "house minority leader", "press secretary", "representative",
+    "senior advisor", "senior editor", "member")
+  val invalidOrgAltNames: Set[String] = Set("association", "society",
+    "group", "corporation", "corp", "corp.", "llc")
+
+  private val foundedWords = Set("founded", "founder", "created", "creator")
+  private val birthRewrite = Map(
+    "per:city_of_birth" -> "per:cities_of_residence",
+    "per:stateorprovince_of_birth" -> "per:stateorprovinces_of_residence",
+    "per:country_of_birth" -> "per:countries_of_residence")
+  private def isBirthWord(w: String) = w == "born" || w.contains("birth") ||
+    w.contains("origin") || w == "from" || w.contains("native")
+  private def isResidenceWord(w: String) = w.startsWith("reside") ||
+    w.startsWith("live") || w.contains("home") || w.startsWith("raise") ||
+    w.contains("brought")
+
+  /** Between-window rewrites/filters applied per scored mention — the
+   *  reference's X5 stop-sets + X10 TopEmployeeRewrite
+   *  (HeuristicSlotfillPostProcessors.java:425-449) + X11 BornInRewrite
+   *  (:453-499), run where the between-window is already computed
+   *  (post-classification in the reference; per-mention here, upstream of
+   *  the bag aggregation that would discard the window). */
+  def betweenPass(c: Candidate, scored: Seq[(String, Double)])
+      : Seq[(String, Double)] = {
+    lazy val betweenText = c.between.mkString(" ")
+    scored.flatMap { case (rel, p) =>
+      rel match {
+        case "org:top_members/employees" =>
+          if (invalidTopEmployeeJustification.contains(betweenText)) None
+          else if (c.between.exists(foundedWords)) Some("org:founded_by" -> p)
+          else Some(rel -> p)
+        case "org:alternate_names"
+          if invalidOrgAltNames.contains(betweenText) => None
+        case r if birthRewrite.contains(r) =>
+          if (c.between.exists(isBirthWord)) Some(rel -> p)
+          else if (c.between.exists(isResidenceWord))
+            Some(birthRewrite(r) -> p)
+          else if (c.between.length < 8) Some(rel -> p)
+          else None // very little support for a distant birth-place claim
+        case _ => Some(rel -> p)
+      }
+    }
+  }
+
   /** Score one candidate mention: pattern hits at 1.0, plus LR labels with
-   *  p > threshold (type-gated). Returns (relation, score) pairs. */
+   *  p > threshold (type-gated), then the between-window pass. */
   def score(c: Candidate): Seq[(String, Double)] = {
     val ruleHits = c.features.iterator.filter(_.startsWith("rule="))
       .map(_.substring("rule=".length)).toSet
     val typed = Relations.all.iterator.filter { m =>
       m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
     }
-    typed.map { m =>
+    betweenPass(c, typed.map { m =>
       if (ruleHits.contains(m.name)) m.name -> 1.0
       else m.name -> lrScore(m.name, c.features)
-    }.filter(_._2 > Threshold).toSeq
+    }.filter(_._2 > Threshold).toSeq)
   }
 
   def toFills(c: Candidate): Seq[SlotFill] = {

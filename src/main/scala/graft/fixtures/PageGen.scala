@@ -146,7 +146,7 @@ object PageGen {
       // 2: org founding
       (s"$o was founded by $p in ${foundedYear(i)} and is headquartered in ${hqCity(i)}.",
         Seq(Gold(o, "org:founded_by", p),
-          Gold(o, "org:founded", s"${foundedYear(i)}-XX-XX"),
+          Gold(o, off("org:founded"), s"${foundedYear(i)}-XX-XX"),
           Gold(o, off("org:city_of_headquarters"), hqCity(i)))),
       // 3: org alias + headcount
       (s"$o2, also known as ${aliasOf(i + 1)}, employs ${employees(i + 1)} people.",
@@ -208,7 +208,7 @@ object PageGen {
           ideologyList(i % ideologyList.size)))),
       // 18: dissolution
       (s"$o2 was dissolved on ${dateStr(dissolvedK(i + 1))}.",
-        Seq(Gold(o2, "org:dissolved", timex(dissolvedK(i + 1))))),
+        Seq(Gold(o2, off("org:dissolved"), timex(dissolvedK(i + 1))))),
       // 19: cousin (pair spacing 5)
       (s"$p is a cousin of ${person(i + 5)}.",
         Seq(Gold(p, "per:other_family", person(i + 5)),
@@ -248,7 +248,16 @@ object PageGen {
       // 29: pronoun coref across sentences
       (s"$p was born in ${birthCity(i)}. He works at ${org(i + 5)}.",
         Seq(Gold(p, off("per:city_of_birth"), birthCity(i)),
-          Gold(p, off("per:employee_of"), org(i + 5))))
+          Gold(p, off("per:employee_of"), org(i + 5)))),
+      // 30: X10 TopEmployeeRewrite fires e2e — "appointed" proposes
+      // org:top_members, "founder" between the spans rewrites to founded_by
+      (s"$o appointed founder $p3 in ${1990 + (i % 30)}.",
+        Seq(Gold(o, "org:founded_by", p3),
+          Gold(p3, "per:title", "founder"))),
+      // 31: X11 BornInRewrite fires e2e — "raised in" proposes
+      // city_of_birth, the residence keyword rewrites it
+      (s"$p3 was raised in ${resCity(i + 2)}.",
+        Seq(Gold(p3, off("per:cities_of_residence"), resCity(i + 2))))
     )
   }
 

@@ -16,14 +16,26 @@ import graft.nlp.Coref
  *    token string, acronym key, surname key); only names sharing a key are
  *    compared.
  *  - within a block, GREEDY clustering against accumulated representatives
- *    (block sorted deterministically) — O(n·reps), not O(n²);
- *    a hot block ("united states") degrades gracefully because near-equal
- *    names collapse into one rep early.
- *  - cross-block agreement via iterative min-label propagation (connected
- *    components as joins, bounded iterations) — the standard large-scale CC
- *    pattern; per-entity graphs are tiny so it converges in 2-3 rounds.
+ *    (block sorted deterministically) — O(n·reps), not O(n²). HOT blocks
+ *    (shared by > MaxBlock distinct names) are NOT dropped: the greedy pass
+ *    runs with a capped representative scan (O(n·MaxRepScan) — linear), so
+ *    the hottest names still link; only the long tail of a degenerate block
+ *    degrades to identity, a bounded-recall salting of the hot key rather
+ *    than a silent hole.
+ *  - cross-block agreement via UNION-FIND on the collected alias pairs.
+ *    The pair set is exactly what the downstream broadcast join ships to
+ *    every executor anyway (north_star: "broadcast-joined alias
+ *    dictionaries"), so folding it on the driver adds no new memory
+ *    ceiling — and it reaches the exact transitive fixpoint (no bounded
+ *    propagation-round assumption), replacing 2 join+aggregate rounds
+ *    (~6 exchanges) with zero.
  */
 object Linker {
+
+  /** Block size beyond which the block is salted by a finer key; also the
+   *  representative-list cap inside one greedy pass (bounds the pass to
+   *  O(n·MaxBlock) — linear in block size). */
+  val MaxBlock = 256
 
   private val corpSuffixes = Set("inc", "inc.", "corp", "corp.", "co",
     "co.", "ltd", "ltd.", "llc", "corporation", "company")
@@ -71,75 +83,112 @@ object Linker {
       small.forall(s => large.exists(l => Coref.approxTokenMatch(s, l)))
   }
 
-  /** name -> canonical name for all PER/ORG names in the fills. */
-  def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
+  /** Deterministic representative preference: maximal surface form first
+   *  (longest, then lexicographic) — representatives are maximal surface
+   *  forms, matching the reference's priority-merge. */
+  private val repOrdering: Ordering[String] =
+    Ordering.by((n: String) => (-n.length, n))
+
+  /** Per-block greedy alias pairs (name -> in-block representative). Only
+   *  NON-IDENTITY pairs are emitted: a name with no row is its own
+   *  canonical form, keeping the collected pair set proportional to the
+   *  number of actual aliases, not the entity universe. */
+  def aliasPairs(spark: SparkSession, fills: Dataset[SlotFill])
       : Dataset[(String, String)] = {
     import spark.implicits._
+    // distinct names first: a hot entity appearing in 10^6 fills must send
+    // ONE row per partition into the key shuffle (map-side combine), not
+    // 10^6 duplicates into its block
     val names = fills.flatMap { f =>
       Seq((f.subj, f.subj_type)) ++
         (if (NER.isEntityType(f.obj_type)) Seq((f.obj, f.obj_type)) else Nil)
     }.distinct()
-
-    // explode to blocking keys, cluster greedily per block; PERSISTED —
-    // the propagation loop below re-joins `pairs` every iteration and
-    // without a persist each iteration would recompute the whole upstream
-    // (including the NLP stage). Only NON-IDENTITY pairs are emitted: a
-    // name with no row is its own canonical form, which keeps the
-    // propagation join and the downstream broadcast proportional to the
-    // number of actual aliases, not the entity universe.
-    val maxBlock = 256 // hot-key guard: a blocking key shared by hundreds
-    // of distinct entities (e.g. a popular acronym shape) is a weak signal
-    // and would make the in-block greedy pass quadratic — skip it, the
-    // frequency-capped-blocking-key standard at scale
-    val pairs = names.flatMap { case (n, t) =>
+    names.flatMap { case (n, t) =>
       blockKeys(n, t).map(k => (k, n))
     }.groupByKey(_._1).flatMapGroups { (_, it) =>
       // deterministic order: longest first (representatives are maximal
       // surface forms), then lexicographic
-      val members = it.map(_._2).toVector.distinct
-        .sortBy(n => (-n.length, n))
-      if (members.length > maxBlock) Iterator.empty
+      val members = it.map(_._2).toVector.distinct.sorted(repOrdering)
+      if (members.length <= MaxBlock) greedy(members)
       else {
-        val reps = scala.collection.mutable.ArrayBuffer[String]()
-        members.iterator.flatMap { n =>
-          reps.find(r => sameEntity(r, n)) match {
-            case Some(r) => Some((n, r))
-            case None => reps += n; None // identity: no row needed
-          }
-        }
+        // HOT block (the "united states" problem): salt by the finer key —
+        // first normalized token — and cluster each sub-block
+        // independently. The hottest surface forms still link (aliases of
+        // one entity overwhelmingly share their leading token); only
+        // cross-sub-block links inside a degenerate key are lost — bounded
+        // recall cost instead of the quadratic pass or a silent drop.
+        members.groupBy(m => normalizeName(m).takeWhile(_ != ' '))
+          .toSeq.sortBy(_._1)
+          .iterator.flatMap { case (_, ms) => greedy(ms) }
       }
-    }.toDF("name", "rep").persist()
-
-    // connected components: min-label propagation, FIXED 2 rounds
-    // (name -> min(rep), then propagate through the rep's own label —
-    // name-linking chains deeper than rep-of-rep don't occur; no
-    // per-iteration convergence count, each would be a full job).
-    // A rep with no alias row of its own is its own label (left join +
-    // coalesce). Deterministic by construction.
-    var labels = pairs.groupBy($"name").agg(min($"rep").as("label"))
-    var iter = 0
-    while (iter < 2) {
-      labels = pairs
-        .join(labels.select($"name".as("rep"), $"label".as("repLabel")),
-          Seq("rep"), "left")
-        .groupBy($"name")
-        .agg(min(coalesce($"repLabel", $"rep")).as("label"))
-      iter += 1
     }
-    // only true renames survive; persisted because canonicalize broadcasts
-    // this map twice (subj + obj join)
-    labels.filter($"name" =!= $"label").persist().as[(String, String)]
   }
 
-  /** Rewrite subj/obj to canonical representatives. The alias map is small
-   *  relative to the corpus (distinct entities), broadcast by AQE/hint. */
+  /** In-block greedy clustering against accumulated representatives;
+   *  emits only non-identity (name -> representative) pairs. The rep list
+   *  is capped at MaxBlock so one pass is O(n·MaxBlock) worst case. */
+  private def greedy(members: Seq[String]): Iterator[(String, String)] = {
+    val reps = scala.collection.mutable.ArrayBuffer[String]()
+    members.iterator.flatMap { n =>
+      reps.find(r => sameEntity(r, n)) match {
+        case Some(r) => Some((n, r))
+        case None =>
+          if (reps.length < MaxBlock) reps += n
+          None // identity: no row needed
+      }
+    }
+  }
+
+  /** name -> canonical name, exact transitive fixpoint via union-find over
+   *  the collected alias pairs; representative per component = maximal
+   *  surface form (order-independent, so deterministic under any
+   *  partitioning of the collect). */
+  def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
+      : Map[String, String] = {
+    val pairs = aliasPairs(spark, fills).collect()
+    if (pairs.isEmpty) return Map.empty
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // canonical member per component = min under repOrdering over members
+    val byRoot = scala.collection.mutable.HashMap[String, String]()
+    val names = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toVector.distinct
+    names.foreach { n =>
+      val r = find(n)
+      byRoot.get(r) match {
+        case Some(best) => if (repOrdering.lt(n, best)) byRoot(r) = n
+        case None => byRoot(r) = n
+      }
+    }
+    names.iterator.map(n => n -> byRoot(find(n))).filter(p => p._1 != p._2).toMap
+  }
+
+  /** Rewrite subj/obj to canonical representatives via a broadcast join of
+   *  the alias dictionary (tiny by construction: non-identity aliases only). */
   def canonicalize(spark: SparkSession, fillsIn: Dataset[SlotFill])
       : Dataset[SlotFill] = {
     import spark.implicits._
     // consumed twice (alias-map build + rewrite join): persist to cut the
-    // upstream (NLP -> bags -> consistency) to a single computation
+    // upstream (NLP -> bags) to a single computation. Long-lived sessions
+    // that loop the pipeline (Bench scaling loop, stream compaction) clear
+    // the cache between runs (spark.sharedState.cacheManager).
     val fills = fillsIn.persist()
-    val aliases = buildAliasMap(spark, fills).toDF("name", "canon")
+    val aliasMap = buildAliasMap(spark, fills)
+    // nothing to rewrite: skip the joins (the common case on a corpus whose
+    // mentions were already coref-normalized upstream)
+    if (aliasMap.isEmpty) return fills
+    val aliases = spark.createDataset(aliasMap.toSeq.sortBy(_._1))
+      .toDF("name", "canon")
     val f = fills.toDF()
     val withSubj = f.join(broadcast(aliases).withColumnRenamed("name", "subj")
         .withColumnRenamed("canon", "subj_canon"), Seq("subj"), "left")

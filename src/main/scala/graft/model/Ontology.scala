@@ -169,10 +169,14 @@ object Relations {
    *  canonicalization step" (OfficialOutputWriter.officialRelationName,
    *  evaluate/OfficialOutputWriter.java:134-198; 2013 renames). */
   val official2013: Map[String, String] = Map(
-    "per:member_of" -> "per:employee_or_member_of",
     "per:employee_of" -> "per:employee_or_member_of",
-    "per:stateorprovince_of_birth" -> "per:statesorprovinces_of_birth",
-    "org:political/religious_affiliation" -> "org:political_religious_affiliation"
+    "per:member_of" -> "per:employee_or_member_of",
+    "per:stateorprovinces_of_residence" -> "per:statesorprovinces_of_residence",
+    "org:political/religious_affiliation" -> "org:political_religious_affiliation",
+    "org:top_members/employees" -> "org:top_members_employees",
+    "org:number_of_employees/members" -> "org:number_of_employees_members",
+    "org:founded" -> "org:date_founded",
+    "org:dissolved" -> "org:date_dissolved"
   )
   def officialName(rel: String): String = official2013.getOrElse(rel, rel)
 
@@ -182,10 +186,14 @@ object Relations {
     val n = s.trim.toLowerCase
     byName.get(n).orElse(byName.get(n match {
       case "per:employee_or_member_of" => "per:employee_of"
-      case "per:statesorprovinces_of_birth" => "per:stateorprovince_of_birth"
+      case "per:statesorprovinces_of_residence" => "per:stateorprovinces_of_residence"
       case "org:political_religious_affiliation" => "org:political/religious_affiliation"
-      case "org:number_of_employees" | "org:number_of_members" => "org:number_of_employees/members"
-      case "org:top_members" | "org:top_employees" => "org:top_members/employees"
+      case "org:number_of_employees_members" |
+           "org:number_of_employees" | "org:number_of_members" => "org:number_of_employees/members"
+      case "org:top_members_employees" |
+           "org:top_members" | "org:top_employees" => "org:top_members/employees"
+      case "org:date_founded" => "org:founded"
+      case "org:date_dissolved" => "org:dissolved"
       case other => other
     }))
   }

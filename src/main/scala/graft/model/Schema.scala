@@ -74,7 +74,9 @@ final case class Candidate(
     sent_idx: Int,
     ent_b: Int, ent_e: Int,
     slot_b: Int, slot_e: Int,
-    features: Seq[String]) // sparse binary feature vector (FeatureFactory)
+    features: Seq[String], // sparse binary feature vector (FeatureFactory)
+    between: Seq[String])  // lowercased words between the spans (X5/X10/X11
+                           // between-window checks; narrow-stage only)
 
 /** A scored (pair, relation) before consistency — KBPSlotFill. */
 final case class SlotFill(

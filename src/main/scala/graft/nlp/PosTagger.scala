@@ -32,7 +32,8 @@ object PosTagger {
     "convicted", "accused", "named", "known", "based", "headquartered",
     "resides", "resided", "wed", "succumbed", "passed", "practices",
     "converted", "dissolved", "became", "become", "announced", "said",
-    "says", "reported", "wrote", "holds", "held", "runs", "ran")
+    "says", "reported", "wrote", "holds", "held", "runs", "ran",
+    "appointed", "appoints", "appoint", "raised", "promoted", "elected")
   private val adjSuffix = Seq("ous", "ful", "ive", "ical", "ish", "less")
 
   def tag(word: String): String = {

@@ -27,6 +27,7 @@ object Tokenizer {
     "(?:https?://[^\\s<>\"]+|www\\.[^\\s<>\"]+)" +          // url
     "|(?:\\p{L}\\.){2,}" +                                   // U.S., i.e.
     "|\\p{L}+\\." +                                          // maybe-abbrev.
+    "|\\d+(?:-\\p{L}+)+" +                                   // 75-year-old
     "|\\d+(?:[.,]\\d+)*%?" +                                 // 1,234.5 / 42%
     "|\\p{L}+(?:['’\\-]\\p{L}{2,})*" +                       // words, O'Neil
     "|['’]\\p{L}" +                                          // clitics 's 't 'm

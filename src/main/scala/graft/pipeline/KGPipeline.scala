@@ -14,13 +14,20 @@ import graft.io.TableIO
  *
  *   pages --mapPartitions NLP--> sentences --flatMap--> scored fills
  *     --[shuffle 1: bag agg by (pair, pred)]--> merged fills
- *     --[shuffle 2: entity-partitioned consistency]--> consistent fills
- *     --[linking: blocked, broadcast-joined]--> canonical fills
- *     --symmetric expansion + edge merge + official rename--> triples
+ *     --unary consistency (row-local)--> valid fills
+ *     --[linking: blocked alias pairs + driver union-find, broadcast-joined
+ *        rewrite]--> canonical fills --symmetric expansion-->
+ *     --[shuffle 2: per-CANONICAL-entity consistency X13-X18]-->
+ *     --[shuffle 3: edge merge + official rename]--> triples
  *
- * Plan shape mirrors SURVEY.md §3.1: everything through scoring is
- * per-document local (one mapPartitions, no shuffle); only bag aggregation,
- * per-entity consistency and linking shuffle, each on an explicit key. The
+ * Stage order mirrors the reference's inferential path
+ * (InferentialSlotFiller.java:52-176: unary -> EntityMerging -> symmetric
+ * -> global consistency pass 2), so SINGLE-cardinality argmax and
+ * approximate dedup see the fills of one CANONICAL entity, not one surface
+ * form. Plan shape per SURVEY.md §3.1: everything through scoring is
+ * per-document local (one mapPartitions, no shuffle); exactly three data
+ * shuffles, each on an explicit key (pair / canonical subj / triple key) —
+ * the fixed-overhead tail that caps N->4N scaling is kept minimal. The
  * triples table is written partitioned by pred (partition pruning for
  * per-relation consumers).
  */
@@ -52,8 +59,11 @@ object KGPipeline {
     fills.toDF()
       .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
       .agg(
-        // log-domain noisy-or: 1 - prod(1-p); p=1 contributes -inf -> 1.0
-        (lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0)))))).as("score"),
+        // log-domain noisy-or: 1 - prod(1-p); p=1 contributes -inf -> 1.0.
+        // Rounded to 12 decimals: log1p terms sum in partition-arrival
+        // order, and downstream orderings compare scores EXACTLY — the
+        // rounding restores determinism under any parallelism.
+        round(lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0))))), 12).as("score"),
         // deterministic argmax provenance: struct ordering = (score, prov)
         max(struct($"score", $"prov")).getField("prov").as("prov"))
       .select($"subj", $"subj_type", $"pred", $"obj", $"obj_type",
@@ -61,18 +71,24 @@ object KGPipeline {
       .as[SlotFill]
   }
 
-  /** Stage 6: consistency — unary pass (row-local), then the per-entity
-   *  pairwise/hold-one-out pass (X13-X18) partitioned by entity. */
-  def consistent(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+  /** Stage 5b: unary consistency (X1-X12 per-fill checks) — row-local,
+   *  fused into the same stage as the bag aggregation's output. */
+  def unary(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
     import spark.implicits._
     fills.flatMap(Consistency.unaryOne)
-      .groupByKey(_.subj)
-      .flatMapGroups((_, it) => Consistency.entityPass(it.toSeq))
   }
 
-  /** Stage 7: entity linking + canonicalization (G2). */
+  /** Stage 6: entity linking + canonicalization (G2). */
   def linked(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] =
     Linker.canonicalize(spark, fills)
+
+  /** Stage 7: per-entity global consistency (X13-X18), grouped by CANONICAL
+   *  subject (post-linking — InferentialSlotFiller.java:122-165 order). */
+  def consistent(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    fills.groupByKey(_.subj)
+      .flatMapGroups((_, it) => Consistency.entityPass(it.toSeq))
+  }
 
   /** Symmetric relations (G4, SymmetricFunctionRewritePostProcessor):
    *  reverse edges for spouse/siblings/other_family/alternate_names. */
@@ -97,7 +113,7 @@ object KGPipeline {
     renamed.toDF()
       .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
       .agg(
-        (lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0)))))).as("score"),
+        round(lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0))))), 12).as("score"),
         max(struct($"score", $"prov")).getField("prov").as("prov"))
       .select(
         $"subj",
@@ -141,10 +157,13 @@ object KGPipeline {
     val sents = ckpt("sentences", sentences(spark, pages))
     val raw = ckpt("fills_raw", mentionFills(spark, sents))
     val bags = ckpt("fills_merged", aggregateBags(spark, raw))
-    val cons = ckpt("fills_consistent", consistent(spark, bags))
-    val link = ckpt("fills_linked", linked(spark, cons))
-    val sym = symmetricExpand(spark, link)
-    val out = ckpt("triples", triples(spark, sym), Seq("pred"))
+    // unary is row-local (not checkpointed); linking + symmetric expansion
+    // land together in fills_linked; the global X13-X18 pass runs on
+    // CANONICAL subjects (reference order: merge -> symmetric -> pass 2)
+    val link = ckpt("fills_linked",
+      symmetricExpand(spark, linked(spark, unary(spark, bags))))
+    val cons = ckpt("fills_consistent", consistent(spark, link))
+    val out = ckpt("triples", triples(spark, cons), Seq("pred"))
     io.foreach { t =>
       val ms = metrics.result()
       if (ms.nonEmpty)

@@ -36,13 +36,15 @@ object StreamIngest {
       .start()
   }
 
-  /** Batch compaction: accumulated fills log -> canonical triples table. */
+  /** Batch compaction: accumulated fills log -> canonical triples table
+   *  (same stage order as KGPipeline.run: unary -> link -> symmetric ->
+   *  per-canonical-entity consistency -> merge). */
   def compact(spark: SparkSession, root: String): Dataset[graft.model.Triple] = {
     import spark.implicits._
     val fills = spark.read.parquet(s"$root/fills_log").as[SlotFill]
     val bags = KGPipeline.aggregateBags(spark, fills)
-    val cons = KGPipeline.consistent(spark, bags)
-    val linked = KGPipeline.linked(spark, cons)
-    KGPipeline.triples(spark, KGPipeline.symmetricExpand(spark, linked))
+    val linked = KGPipeline.symmetricExpand(spark,
+      KGPipeline.linked(spark, KGPipeline.unary(spark, bags)))
+    KGPipeline.triples(spark, KGPipeline.consistent(spark, linked))
   }
 }

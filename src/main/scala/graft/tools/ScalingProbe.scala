@@ -29,13 +29,14 @@ object ScalingProbe {
       time("fills")(raw.count())
       val bags = KGPipeline.aggregateBags(spark, raw).persist()
       time("bags")(bags.count())
-      val cons = KGPipeline.consistent(spark, bags).persist()
-      time("consistent")(cons.count())
-      val link = time("linked")(
-        graft.link.Linker.canonicalize(spark, cons).persist())
+      val un = KGPipeline.unary(spark, bags).persist()
+      time("unary")(un.count())
+      val link = time("linked")(KGPipeline.symmetricExpand(spark,
+        graft.link.Linker.canonicalize(spark, un)).persist())
       time("linked-count")(link.count())
-      val tri = KGPipeline.triples(spark,
-        KGPipeline.symmetricExpand(spark, link))
+      val cons = KGPipeline.consistent(spark, link).persist()
+      time("consistent")(cons.count())
+      val tri = KGPipeline.triples(spark, cons)
       time("triples")(tri.count())
       spark.stop()
     }

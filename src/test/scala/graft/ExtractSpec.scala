@@ -65,4 +65,52 @@ class ExtractSpec extends AnyFunSuite {
     assert(math.abs(Scorer.sigmoid(0.0) - 0.5) < 1e-12)
     assert(Scorer.sigmoid(10) > 0.999)
   }
+
+  private def cand(between: String, subj: String = "Acme Corp",
+                   subjType: String = NER.ORGANIZATION,
+                   obj: String = "John Smith",
+                   objType: String = NER.PERSON) =
+    graft.model.Candidate(subj, subjType, obj, obj, objType,
+      "u", "d", 0, 0, 1, 5, 6, Nil, between.split(" ").toSeq.filter(_.nonEmpty))
+
+  test("X10 TopEmployeeRewrite: founded-word between rewrites to founded_by") {
+    val c = cand("appointed founder")
+    val out = Scorer.betweenPass(c, Seq("org:top_members/employees" -> 0.9))
+    assert(out == Seq("org:founded_by" -> 0.9))
+    // no founder word -> unchanged
+    val keep = Scorer.betweenPass(cand("appointed"),
+      Seq("org:top_members/employees" -> 0.9))
+    assert(keep == Seq("org:top_members/employees" -> 0.9))
+  }
+
+  test("X5 stop-sets: invalid top-employee / org-alt-name justifications") {
+    val spokesman = Scorer.betweenPass(cand("spokesman"),
+      Seq("org:top_members/employees" -> 0.9))
+    assert(spokesman.isEmpty)
+    val alt = Scorer.betweenPass(cand("corporation", obj = "Acme",
+        objType = NER.ORGANIZATION),
+      Seq("org:alternate_names" -> 0.9))
+    assert(alt.isEmpty)
+  }
+
+  test("X11 BornInRewrite: keep on birth words, rewrite on residence words, " +
+       "drop distant unsupported") {
+    def birth(between: String) = Scorer.betweenPass(
+      cand(between, subj = "John Smith", subjType = NER.PERSON,
+        obj = "Paris", objType = NER.CITY),
+      Seq("per:city_of_birth" -> 0.9))
+    assert(birth("was born in") == Seq("per:city_of_birth" -> 0.9))
+    assert(birth("was raised in") == Seq("per:cities_of_residence" -> 0.9))
+    assert(birth("a b") == Seq("per:city_of_birth" -> 0.9)) // close: keep
+    assert(birth("a b c d e f g h i j").isEmpty) // distant, unsupported
+  }
+
+  test("X9 ExpandToMaximalPhraseRewrite: title absorbs preceding noun run") {
+    val s = sentencesOf("Emma Wilson works as a software engineer now.").head
+    val Mentions.Spans(_, slots) = Mentions.extract(s)
+    assert(slots.exists(m => m.ner == NER.TITLE &&
+      m.surface == "software engineer"), s"slots: ${slots.map(_.surface)}")
+    // determiner boundary: "a" is not absorbed
+    assert(!slots.exists(_.surface.contains("a software")))
+  }
 }

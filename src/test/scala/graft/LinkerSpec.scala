@@ -25,4 +25,36 @@ class LinkerSpec extends AnyFunSuite {
     assert(!Linker.sameEntity("Global Dynamics Group",
       "Global Dynamics Holdings"))
   }
+
+  private lazy val spark = SparkTestSession.spark
+  private val prov = graft.model.Provenance("d", "u", 0, 0, 1, 2, 3)
+  private def fill(subj: String) = graft.model.SlotFill(subj,
+    NER.PERSON, "per:title", "engineer", NER.TITLE, 0.9, prov)
+
+  test("hot blocks (>MaxBlock members) still link via salted sub-blocks") {
+    // 300 distinct people share the surname blocking key s:PERSON:smith —
+    // well beyond MaxBlock — plus one true alias pair inside the hot block.
+    // Round-1 behavior (silent drop of blocks >256) would lose the pair.
+    import spark.implicits._
+    val crowd = (0 until 300).map(i => fill(f"Name$i%03d Smith"))
+    val fills = (crowd :+ fill("John Smith") :+ fill("John R. Smith")).toDS()
+    val alias = Linker.buildAliasMap(spark, fills)
+    assert(alias == Map("John Smith" -> "John R. Smith"),
+      s"hot block mis-linked: $alias")
+  }
+
+  test("union-find reaches the transitive fixpoint across blocks") {
+    // GDC -(acronym block)-> Global Dynamics Corp -(normalized block)->
+    // Global Dynamics: all three must collapse to ONE maximal-surface rep
+    // even though no single block contains all of them
+    import spark.implicits._
+    def orgFill(subj: String) = graft.model.SlotFill(subj,
+      NER.ORGANIZATION, "org:founded", "1990-XX-XX", "DATE", 0.9, prov)
+    val fills = Seq(orgFill("GDC"), orgFill("Global Dynamics Corp"),
+      orgFill("Global Dynamics")).toDS()
+    val alias = Linker.buildAliasMap(spark, fills)
+    assert(alias == Map(
+      "GDC" -> "Global Dynamics Corp",
+      "Global Dynamics" -> "Global Dynamics Corp"), s"chain not closed: $alias")
+  }
 }

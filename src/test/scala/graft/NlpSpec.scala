@@ -58,6 +58,16 @@ class NlpSpec extends AnyFunSuite {
     assert(yr.ner(1) == NER.DATE && yr.timex(1) == "1985-XX-XX")
   }
 
+  test("DURATION: hyphenated age compounds survive tokenization and tag") {
+    // "75-year-old" must stay ONE token (the number branch alone would
+    // split it into 75 / - / year-old and the DURATION rule could never
+    // fire on any token)
+    val toks = Tokenizer.tokenize("The 75-year-old actor retired.")
+    assert(toks.map(_.text).contains("75-year-old"))
+    val tag = Ner.tag(Vector("The", "75-year-old", "actor"))
+    assert(tag.ner(1) == NER.DURATION)
+  }
+
   test("coref: pronoun, surname and acronym antecedents") {
     val s1 = (Vector("John", "Smith", "works", "at", "IBM", "."),
       Array(NER.PERSON, NER.PERSON, "O", "O", NER.ORGANIZATION, "O"))

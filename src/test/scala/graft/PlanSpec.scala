@@ -48,10 +48,28 @@ class PlanSpec extends AnyFunSuite {
     // joins) — count DISTINCT physical exchanges by plan_id
     val ids = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    // 14 today: bag agg + entity group + final merge + the linker's
-    // distinct/block/2-round-propagation internals; regression guard only
-    assert(ids.size <= 16, s"exchange explosion (${ids.size}):\n$plan")
-    assert(plan.contains("BroadcastExchange"), "alias map not broadcast")
+    // expected: bag agg + names-distinct + block groupBy + canonical-entity
+    // group + final merge = 5; the driver union-find replaced the old
+    // 2-round propagation joins (was 14 exchanges in round 1)
+    assert(ids.size <= 8, s"exchange explosion (${ids.size}):\n$plan")
+  }
+
+  test("alias dictionary rewrite is a broadcast join, never a shuffle") {
+    import spark.implicits._
+    val prov = graft.model.Provenance("d", "u", 0, 0, 1, 2, 3)
+    // "GDC" shares the acronym block with "Global Dynamics Corp" -> one
+    // real alias row -> the rewrite join must broadcast it
+    val fills = spark.createDataset(Seq(
+      graft.model.SlotFill("Global Dynamics Corp", "ORGANIZATION",
+        "org:founded", "1990-XX-XX", "DATE", 0.9, prov),
+      graft.model.SlotFill("GDC", "ORGANIZATION",
+        "org:city_of_headquarters", "Paris", "CITY", 0.9, prov)))
+    val out = graft.link.Linker.canonicalize(spark, fills)
+    val subjects = out.collect().map(_.subj).toSet
+    assert(subjects == Set("Global Dynamics Corp"), s"not linked: $subjects")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"alias map not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"alias join shuffled:\n$plan")
   }
 
   test("the full official ontology is extracted end-to-end") {
