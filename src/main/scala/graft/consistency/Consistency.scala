@@ -30,6 +30,14 @@ object Consistency {
    *  HeuristicSlotfillPostProcessors.java:180-186,223). */
   private val invalidTitles = Set("senior leader", "leader", "member",
     "hero", "socialite")
+  private val countryAliases = Map(
+    "U.S." -> "United States", "USA" -> "United States",
+    "U.S.A." -> "United States", "America" -> "United States",
+    "U.K." -> "United Kingdom", "UK" -> "United Kingdom")
+  /** state -> country, derived from the city gazetteer (functional:
+   *  a state belongs to one country). */
+  private lazy val stateCountry: Map[String, String] =
+    Gazetteers.cities.values.toMap
 
   /** Character 4-gram overlap used by FilterUnrelatedURL
    *  (HeuristicSlotfillPostProcessors.java:255-295). */
@@ -81,6 +89,10 @@ object Consistency {
       Gazetteers.nationalities.get(fill.obj).foreach { c =>
         fill = fill.copy(obj = c, obj_type = NER.COUNTRY)
       }
+    // X12 canonical country renames (WorldKnowledgePostProcessor alias
+    // tables): abbreviated country surfaces -> gazetteer-canonical names
+    if (fill.obj_type == NER.COUNTRY)
+      countryAliases.get(fill.obj).foreach(c => fill = fill.copy(obj = c))
     // X5 invalid-title stop-set (:223)
     if (fill.pred == "per:title" &&
         invalidTitles.contains(fill.obj.toLowerCase)) return None
@@ -202,6 +214,22 @@ object Consistency {
       "per:country_of_death").toVector
     fills = geoOk("org:city_of_headquarters",
       "org:stateorprovince_of_headquarters",
+      "org:country_of_headquarters").toVector
+
+    // X12: state fill implies country agreement (the state->country half
+    // of WorldKnowledgePostProcessor's consistency matrix)
+    def stateCountryOk(statePred: String, countryPred: String): Seq[SlotFill] =
+      fills.find(_.pred == statePred)
+        .flatMap(sf => stateCountry.get(sf.obj)) match {
+        case Some(co) =>
+          fills.filterNot(f => f.pred == countryPred && f.obj != co)
+        case None => fills
+      }
+    fills = stateCountryOk("per:stateorprovince_of_birth",
+      "per:country_of_birth").toVector
+    fills = stateCountryOk("per:stateorprovince_of_death",
+      "per:country_of_death").toVector
+    fills = stateCountryOk("org:stateorprovince_of_headquarters",
       "org:country_of_headquarters").toVector
 
     fills

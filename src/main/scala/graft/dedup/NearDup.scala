@@ -50,8 +50,16 @@ object NearDup {
       sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
       i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""")
 
+  /** Bits for the SRP-LSH bucket space as a function of corpus size:
+   *  buckets sized ~targetBucket vectors so the in-bucket exact pass
+   *  stays bounded — at 10^9 vectors this yields ~24 bits, never the
+   *  fixed-8 of the sf-scale demos (bits must scale with log n). */
+  def autoBits(nVectors: Long, targetBucket: Int = 64): Int =
+    math.max(8, math.ceil(math.log(math.max(1.0,
+      nVectors.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-dup: sign-random-projection LSH bucket join,
-   *  exact cosine inside buckets only. */
+   *  exact cosine inside buckets only. Pass bits = autoBits(n) at scale. */
   def embeddingCosine(spark: SparkSession, emb: DataFrame,
                       threshold: Double = 0.95, bits: Int = 12): DataFrame = {
     import spark.implicits._

@@ -29,6 +29,16 @@ object Evaluate {
       .toDF("correct", "responses", "answers", "precision", "recall", "f1")
   }
 
+  /** K2 `.curve` writer (KBPEvaluator.java:411-489): the threshold sweep
+   *  as a P/R curve file (one CSV line per threshold, precision-sorted
+   *  like the reference's curve output). */
+  def writeCurve(sweep: DataFrame, path: String): Unit =
+    sweep.select(col("threshold"), col("precision"), col("recall"),
+        col("f1"))
+      .orderBy(col("threshold"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
   /** Threshold sweep (KBPEvaluator.java:311-403): for each threshold bucket
    *  t, P/R/F1 of {fills with score >= t}. One aggregation, no re-scoring:
    *  bucket counts + reverse cumulative sums. */

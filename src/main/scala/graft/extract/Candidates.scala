@@ -29,6 +29,7 @@ object Candidates {
     if (ents.isEmpty) return Nil
     val toks = s.tokens.toIndexedSeq
     val words = toks.map(_.word)
+    val ners = toks.map(_.ner)
 
     val out = Seq.newBuilder[Candidate]
     val seen = scala.collection.mutable.HashSet[(String, String)]()
@@ -63,7 +64,8 @@ object Candidates {
               url = s.url, doc_id = s.doc_id, sent_idx = s.sent_idx,
               ent_b = ent.b, ent_e = ent.e, slot_b = slot.b, slot_e = slot.e,
               features = featurize(ent.ner, slot.ner, entFirst, dist,
-                between, words, ent.b, ent.e, slot.b, slot.e) ++
+                between, words, ners, ent.b, ent.e, slot.b, slot.e,
+                corefSlot = slot.normalized != slot.surface) ++
                 triggerHits.map(rel => s"trigger=$rel") ++
                 ruleHits.map(rel => s"rule=$rel"),
               between = betweenLc.toSeq)
@@ -80,30 +82,83 @@ object Candidates {
 
   private def sp(s: String) = s.replace(' ', '_') // FeatureFactory.java:129-141
 
-  /** Surface feature families -> ARRAY<STRING> sparse vector. */
+  /** Surface feature families -> ARRAY<STRING> sparse vector
+   *  (FeatureFactory.java families, production set minus the
+   *  parse/dependency ones — SURVEY.md §2.4 F1):
+   *  arg types/order (:175-191), surface distance binary + bins
+   *  (:259-280), between-span unigrams/bigrams/clusters (:451-522),
+   *  adjacent words + clusters (:371-399), arg2 span words (arg1 not
+   *  lexicalized, KBPProcess.java:64), entities-between + counts
+   *  (:401-449), number/date bins (:524-564), coref flag (:597-602). */
   def featurize(subjType: String, objType: String, entFirst: Boolean,
                 dist: Int, between: Array[String], words: IndexedSeq[String],
-                eb: Int, ee: Int, sb: Int, se: Int): Seq[String] = {
+                ners: IndexedSeq[String],
+                eb: Int, ee: Int, sb: Int, se: Int,
+                corefSlot: Boolean): Seq[String] = {
     val f = Seq.newBuilder[String]
     f += s"arg1type=$subjType"
     f += s"arg2type=$objType"
     f += s"argtypes=$subjType-$objType"
     f += s"arg_order=${if (entFirst) "e_before_s" else "s_before_e"}"
     f += s"dist_bin=${distBin(dist)}"
+    // surface_distance_binary (:259-266): close pairs are special
+    if (dist <= 4) f += "dist_binary=short"
     val betweenLc = between.map(_.toLowerCase)
     betweenLc.foreach(w => f += s"between_uni=${sp(w)}")
     betweenLc.sliding(2).filter(_.length == 2)
       .foreach(bi => f += s"between_bi=${sp(bi.mkString("_"))}")
     betweenLc.foreach(w => f += s"between_cluster=${Gazetteers.wordCluster(w)}")
-    // adjacent words (windows of 1 around each span)
-    if (eb > 0) f += s"ent_prev=${sp(words(eb - 1).toLowerCase)}"
-    if (ee < words.length) f += s"ent_next=${sp(words(ee).toLowerCase)}"
-    if (sb > 0) f += s"slot_prev=${sp(words(sb - 1).toLowerCase)}"
-    if (se < words.length) f += s"slot_next=${sp(words(se).toLowerCase)}"
-    // arg2 lexical (arg1 not lexicalized)
+    // adjacent words + clusters (windows of 1 around each span)
+    if (eb > 0) {
+      val w = words(eb - 1).toLowerCase
+      f += s"ent_prev=${sp(w)}"; f += s"ent_prev_cluster=${Gazetteers.wordCluster(w)}"
+    }
+    if (ee < words.length) {
+      val w = words(ee).toLowerCase
+      f += s"ent_next=${sp(w)}"; f += s"ent_next_cluster=${Gazetteers.wordCluster(w)}"
+    }
+    if (sb > 0) {
+      val w = words(sb - 1).toLowerCase
+      f += s"slot_prev=${sp(w)}"; f += s"slot_prev_cluster=${Gazetteers.wordCluster(w)}"
+    }
+    if (se < words.length) {
+      val w = words(se).toLowerCase
+      f += s"slot_next=${sp(w)}"; f += s"slot_next_cluster=${Gazetteers.wordCluster(w)}"
+    }
+    // arg2 span words (arg1 not lexicalized): head + every span unigram
     val head = words(se - 1).toLowerCase
     f += s"arg2word=${sp(head)}"
     f += s"arg2cluster=${Gazetteers.wordCluster(head)}"
+    var k = sb
+    while (k < se) {
+      f += s"arg2span_uni=${sp(words(k).toLowerCase)}"
+      k += 1
+    }
+    // entities-between + counts (:401-449): NE runs strictly between spans
+    val (lo, hi) = if (entFirst) (ee, sb) else (se, eb)
+    var nEnts = 0
+    var i = lo
+    while (i < hi) {
+      val t = ners(i)
+      if (t != "O" && (i == lo || ners(i - 1) != t)) {
+        f += s"entity_between=$t"
+        nEnts += 1
+      }
+      i += 1
+    }
+    f += s"entities_between_bin=${if (nEnts == 0) "0" else if (nEnts == 1) "1" else if (nEnts == 2) "2" else "3+"}"
+    if (nEnts == 0) f += "no_entity_between"
+    // number/date bins (:524-564)
+    if (objType == graft.model.NER.NUMBER) {
+      val digits = head.takeWhile(_.isDigit)
+      if (digits.nonEmpty) f += s"number_magnitude=${digits.length}"
+    }
+    if (objType == graft.model.NER.DATE) {
+      val y = words(sb).takeWhile(_.isDigit)
+      if (y.length == 4) f += s"date_decade=${y.take(3)}"
+    }
+    // coref flag (:597-602): the slot surfaced via an antecedent rewrite
+    if (corefSlot) f += "arg2_coref"
     // trigger features are appended by the caller from the direction-aware
     // pattern matcher (Patterns.matchBoth), not from a bag-of-words list
     f.result().distinct

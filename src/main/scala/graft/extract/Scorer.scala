@@ -46,6 +46,34 @@ object Scorer {
     sigmoid(s)
   }
 
+  /** Frozen TRAINED model (K3): rel -> hashed-feature binary LR with a
+   *  per-relation threshold, trained in-sandbox on synthetic distant
+   *  supervision (graft.tools.TrainFreeze) and shipped as a classpath
+   *  resource — the reference ships serialized classifiers the same way
+   *  (classify/RelationClassifier.java:94-107). The hand-derived trigger
+   *  weights above remain the fallback when the resource is absent. */
+  lazy val frozen: Map[String, graft.train.Trainer.FrozenLR] =
+    Option(getClass.getResourceAsStream("/graft/lr_weights.tsv"))
+      .map(graft.train.Trainer.loadFrozen).getOrElse(Map.empty)
+
+  // same hash family the trainer used (HashingTF murmur3, fixed seed) —
+  // one shared instance per executor JVM
+  private lazy val hasher = new org.apache.spark.ml.feature.HashingTF()
+    .setNumFeatures(graft.train.Trainer.NumFeatures)
+
+  /** (probability, decision threshold) for one relation: frozen trained LR
+   *  when shipped, hand-set fallback otherwise. */
+  def lrScoreAndThreshold(rel: String, features: Seq[String])
+      : (Double, Double) =
+    frozen.get(rel) match {
+      case Some(m) =>
+        var s = m.intercept
+        features.foreach(f =>
+          s += m.weights.getOrElse(hasher.indexOf(f), 0.0))
+        (sigmoid(s), m.threshold)
+      case None => (lrScore(rel, features), Threshold)
+    }
+
   /** X5 stop-sets (ConformToGuidelinesFilter,
    *  HeuristicSlotfillPostProcessors.java:167-186): between-span phrases
    *  that invalidate a top-employee / org-alt-name justification. */
@@ -105,10 +133,13 @@ object Scorer {
     val typed = Relations.all.iterator.filter { m =>
       m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
     }
-    betweenPass(c, typed.map { m =>
-      if (ruleHits.contains(m.name)) m.name -> 1.0
-      else m.name -> lrScore(m.name, c.features)
-    }.filter(_._2 > Threshold).toSeq)
+    betweenPass(c, typed.flatMap { m =>
+      if (ruleHits.contains(m.name)) Some(m.name -> 1.0)
+      else {
+        val (p, thr) = lrScoreAndThreshold(m.name, c.features)
+        if (p > thr) Some(m.name -> p) else None
+      }
+    }.toSeq)
   }
 
   def toFills(c: Candidate): Seq[SlotFill] = {

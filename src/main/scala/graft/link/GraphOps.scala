@@ -43,8 +43,13 @@ object GraphOps {
         .distinct()
       val fresh = next.join(acc.select($"subj", $"pred", $"obj"),
         Seq("subj", "pred", "obj"), "left_anti")
+      val prev = acc
       acc = acc.unionByName(fresh).persist()
-      if (fresh.isEmpty) d = depth else { frontier = fresh; d += 1 }
+      // one action decides convergence AND materializes the new acc; the
+      // superseded round's cache is dropped immediately
+      val grew = !fresh.isEmpty
+      if (d > 1) prev.unpersist()
+      if (!grew) d = depth else { frontier = fresh; d += 1 }
     }
     acc
   }
@@ -69,12 +74,17 @@ object GraphOps {
         .join(labels, Seq("v"))
         .select($"v", least($"comp", $"minNbr").as("comp"))
         .persist()
+      // ONE action per round: the convergence check is the materializing
+      // count (no separate count() job), and the superseded labels'
+      // cache is released before the next round
       val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
         .filter($"comp" =!= $"old").count()
+      if (i > 0) labels.unpersist()
       labels = next
       changed = diff > 0
       i += 1
     }
+    und.unpersist()
     labels
   }
 

@@ -105,11 +105,17 @@ object Linker {
     }.distinct()
     names.flatMap { case (n, t) =>
       blockKeys(n, t).map(k => (k, n))
-    }.groupByKey(_._1).flatMapGroups { (_, it) =>
+    }.groupByKey(_._1).flatMapGroups { (key, it) =>
       // deterministic order: longest first (representatives are maximal
       // surface forms), then lexicographic
       val members = it.map(_._2).toVector.distinct.sorted(repOrdering)
-      if (members.length <= MaxBlock) greedy(members)
+      if (key.startsWith("n:")) {
+        // normalized-name block: every member shares the same normalized
+        // form, so all are the same entity by definition — alias the rest
+        // to the maximal surface form, no pairwise pass at all
+        if (members.length <= 1) Iterator.empty
+        else members.iterator.drop(1).map(m => (m, members.head))
+      } else if (members.length <= MaxBlock) greedy(members)
       else {
         // HOT block (the "united states" problem): salt by the finer key —
         // first normalized token — and cluster each sub-block
@@ -124,14 +130,53 @@ object Linker {
     }
   }
 
+  /** Precomputed per-member match state: the greedy pass compares members
+   *  O(n·MaxBlock) times, so the per-name parsing (split / normalize /
+   *  initials) must happen ONCE per member, not once per comparison —
+   *  this was the linker's scaling bottleneck at 300k pages. */
+  private final case class Member(name: String, norm: String, nToks: Int,
+                                  normToks: Array[String],
+                                  normTokSet: Set[String],
+                                  initials: String, isAcr: Boolean)
+
+  private def normTok(s: String): String = {
+    val l = s.toLowerCase.stripSuffix(".")
+    if (l.endsWith("es")) l.dropRight(2)
+    else if (l.endsWith("s")) l.dropRight(1)
+    else l
+  }
+
+  private def member(name: String): Member = {
+    val toks = name.split(" ")
+    val nts = toks.map(normTok)
+    val caps = toks.filter(t => t.nonEmpty && t.charAt(0).isUpper)
+    Member(name, normalizeName(name), toks.length, nts, nts.toSet,
+      caps.map(_.charAt(0).toLower).mkString,
+      toks.length == 1 && name.forall(c => !c.isLower) &&
+        name.count(_.isLetter) >= 2)
+  }
+
+  /** Member-level same-entity test: exact-normalized | acronym-to-initials
+   *  | strict approximate-token containment — sameEntity's semantics on
+   *  the precomputed forms (approxTokenMatch ≡ normalized-token equality). */
+  private def sameMember(a: Member, b: Member): Boolean = {
+    if (a.norm == b.norm) return true
+    if (a.isAcr && a.name.filter(_.isLetter).toLowerCase == b.initials &&
+        b.initials.length >= 2) return true
+    if (b.isAcr && b.name.filter(_.isLetter).toLowerCase == a.initials &&
+        a.initials.length >= 2) return true
+    val (s, l) = if (a.nToks <= b.nToks) (a, b) else (b, a)
+    s.nToks > 0 && s.nToks < l.nToks && s.normToks.forall(l.normTokSet)
+  }
+
   /** In-block greedy clustering against accumulated representatives;
    *  emits only non-identity (name -> representative) pairs. The rep list
    *  is capped at MaxBlock so one pass is O(n·MaxBlock) worst case. */
-  private def greedy(members: Seq[String]): Iterator[(String, String)] = {
-    val reps = scala.collection.mutable.ArrayBuffer[String]()
-    members.iterator.flatMap { n =>
-      reps.find(r => sameEntity(r, n)) match {
-        case Some(r) => Some((n, r))
+  private def greedy(memberNames: Seq[String]): Iterator[(String, String)] = {
+    val reps = scala.collection.mutable.ArrayBuffer[Member]()
+    memberNames.iterator.map(member).flatMap { n =>
+      reps.find(r => sameMember(r, n)) match {
+        case Some(r) => Some((n.name, r.name))
         case None =>
           if (reps.length < MaxBlock) reps += n
           None // identity: no row needed
@@ -143,9 +188,14 @@ object Linker {
    *  the collected alias pairs; representative per component = maximal
    *  surface form (order-independent, so deterministic under any
    *  partitioning of the collect). */
+  /** Last run's alias-dictionary size (driver-side telemetry for the
+   *  metrics table's link-resolution rate; set by buildAliasMap). */
+  @volatile var lastAliasCount: Long = 0L
+
   def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
       : Map[String, String] = {
     val pairs = aliasPairs(spark, fills).collect()
+    lastAliasCount = 0L
     if (pairs.isEmpty) return Map.empty
     val parent = scala.collection.mutable.HashMap[String, String]()
     def find(x: String): String = {
@@ -170,7 +220,10 @@ object Linker {
         case None => byRoot(r) = n
       }
     }
-    names.iterator.map(n => n -> byRoot(find(n))).filter(p => p._1 != p._2).toMap
+    val out = names.iterator.map(n => n -> byRoot(find(n)))
+      .filter(p => p._1 != p._2).toMap
+    lastAliasCount = out.size.toLong
+    out
   }
 
   /** Rewrite subj/obj to canonical representatives via a broadcast join of

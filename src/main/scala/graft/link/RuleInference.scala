@@ -44,11 +44,19 @@ object RuleInference {
     edges.select($"subj", $"pred", $"obj", $"score").unionByName(fresh)
   }
 
-  /** Depth-bounded application (test.graph.inference.depth = 3). */
+  /** Depth-bounded application (test.graph.inference.depth = 3). Each
+   *  round's persist is released once the next round materializes. */
   def infer(spark: SparkSession, edges: DataFrame,
             rules: Seq[Rule] = defaultRules, depth: Int = 3): DataFrame = {
     var acc = edges.select("subj", "pred", "obj", "score")
-    (1 until depth).foreach { _ => acc = applyOnce(spark, acc, rules).persist() }
+    var prev: Option[DataFrame] = None
+    (1 until depth).foreach { _ =>
+      val next = applyOnce(spark, acc, rules).persist()
+      next.count() // materialize before dropping the superseded round
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      acc = next
+    }
     acc
   }
 }

@@ -51,7 +51,9 @@ object Annotator {
         val rt = raw(a + k)
         Token(
           word = rt.text,
-          orig = text.substring(rt.begin, rt.end),
+          // every RawToken's text IS the exact [begin,end) slice by
+          // construction (Tokenizer emits verbatim slices) — no substring
+          orig = rt.text,
           begin = rt.begin - sentBegin,
           end = rt.end - sentBegin,
           pos = PosTagger.tag(rt.text),

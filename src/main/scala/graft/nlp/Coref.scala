@@ -38,31 +38,75 @@ object Coref {
   }
 
   /**
-   * Annotate antecedents in-place across a document's sentences.
-   * Inputs are parallel per-sentence arrays (words, ner); outputs an
-   * antecedent array per sentence ("" = none).
+   * Annotate antecedents across a document's sentences, two passes
+   * (the reference's PostIRAnnotator also sees the whole document before
+   * rewriting):
    *
-   * Ladder per token run:
-   *  - person pronouns -> most recent PERSON mention surface
-   *  - org pronouns ("it/they") + "the company|firm|group|organization|university"
-   *    -> most recent ORGANIZATION mention
-   *  - all-caps acronym token -> earlier multi-word ORG whose first letters match
-   *  - bare surname -> earlier multi-token PERSON ending in that word
+   *  PASS 1 — document-wide mention inventory: every PERSON/ORG NER run.
+   *  Representative-mention ladder (PostIRAnnotator.java:584-650): each
+   *  surface resolves to the LONGEST document mention it matches —
+   *  surname match for bare person tokens (guarded by the common-names
+   *  list, :77-93), first-letters acronym for org tokens, strict
+   *  approximate-token containment for multi-token partial names; ties
+   *  break lexicographically (deterministic).
+   *
+   *  PASS 2 — left-to-right rewrite: mention runs get the representative
+   *  as antecedent (canonical-span rewrite, X8); person/org pronouns and
+   *  "the company|firm|…" definites get the most recent mention's
+   *  representative. First/second-person pronouns are never resolved
+   *  (chain cleaning, :584-650 drops 1st-person chains).
    */
   def resolve(sents: IndexedSeq[(IndexedSeq[String], Array[String])])
       : IndexedSeq[Array[String]] = {
+    // ---- pass 1: inventory
+    val personPool = scala.collection.mutable.LinkedHashSet[String]()
+    val orgPool = scala.collection.mutable.LinkedHashSet[String]()
+    for ((words, ner) <- sents) {
+      var i = 0
+      while (i < words.length) {
+        if (ner(i) == NER.PERSON || ner(i) == NER.ORGANIZATION) {
+          var j = i
+          while (j < words.length && ner(j) == ner(i)) j += 1
+          val surface = (i until j).map(words).mkString(" ")
+          if (ner(i) == NER.PERSON) personPool += surface else orgPool += surface
+          i = j
+        } else i += 1
+      }
+    }
+    // longest-then-lexicographic winner (deterministic)
+    val repOrd: Ordering[String] = Ordering.by((s: String) => (-s.length, s))
+    def best(cands: Iterable[String]): Option[String] =
+      if (cands.isEmpty) None else Some(cands.min(repOrd))
+    def containsTokens(small: Seq[String], large: Seq[String]): Boolean =
+      small.length < large.length &&
+        small.forall(s => large.exists(l => approxTokenMatch(s, l)))
+    def repPerson(surface: String): Option[String] = {
+      val toks = surface.split(" ").toSeq
+      if (toks.length == 1) {
+        if (Gazetteers.firstNames.contains(surface)) None // common-names guard
+        else best(personPool.filter { p =>
+          val pt = p.split(" ")
+          pt.length > 1 && approxTokenMatch(pt.last, surface)
+        })
+      } else best(personPool.filter(p =>
+        containsTokens(toks, p.split(" ").toSeq)))
+    }
+    def repOrg(surface: String): Option[String] = {
+      val toks = surface.split(" ").toSeq
+      val viaAcronym =
+        if (toks.length == 1 && surface.forall(c => !c.isLower))
+          best(orgPool.filter(o => isAcronymOf(surface, o.split(" ").toSeq)))
+        else None
+      viaAcronym.orElse(best(orgPool.filter(o =>
+        containsTokens(toks, o.split(" ").toSeq))))
+    }
+
+    // ---- pass 2: rewrite
     var lastPerson = ""
     var lastOrg = ""
-    val seenPersons = scala.collection.mutable.LinkedHashSet[String]()
-    val seenOrgs = scala.collection.mutable.LinkedHashSet[String]()
     val out = Array.newBuilder[Array[String]]
-
     for ((words, ner) <- sents) {
       val ante = Array.fill(words.length)("")
-      // collect mentions in order; update last-seen AFTER resolving pronouns
-      // in this sentence would lose cataphora; the reference resolves with
-      // chains over the whole doc — we resolve left-to-right, updating as
-      // mentions appear, which matches typical newswire anaphora.
       var i = 0
       while (i < words.length) {
         val w = words(i)
@@ -70,31 +114,10 @@ object Coref {
           var j = i
           while (j < words.length && ner(j) == ner(i)) j += 1
           val surface = (i until j).map(words).mkString(" ")
-          if (ner(i) == NER.PERSON) {
-            // bare surname -> earlier full name (guarded: not a common first
-            // name, mirroring the common_names guard PostIRAnnotator.java:77-93)
-            if (j - i == 1 && !Gazetteers.firstNames.contains(w)) {
-              seenPersons.find(p => p.split(" ").length > 1 &&
-                approxTokenMatch(p.split(" ").last, w)) match {
-                case Some(full) => (i until j).foreach(k => ante(k) = full)
-                case None =>
-              }
-            }
-            val full = if (ante(i).nonEmpty) ante(i) else surface
-            lastPerson = full
-            seenPersons += full
-          } else {
-            // acronym of an earlier multi-word org
-            if (j - i == 1 && w.forall(c => !c.isLower)) {
-              seenOrgs.find(o => isAcronymOf(w, o.split(" ").toSeq)) match {
-                case Some(full) => (i until j).foreach(k => ante(k) = full)
-                case None =>
-              }
-            }
-            val full = if (ante(i).nonEmpty) ante(i) else surface
-            lastOrg = full
-            seenOrgs += full
-          }
+          val rep = (if (ner(i) == NER.PERSON) repPerson(surface)
+                     else repOrg(surface)).getOrElse(surface)
+          if (rep != surface) (i until j).foreach(k => ante(k) = rep)
+          if (ner(i) == NER.PERSON) lastPerson = rep else lastOrg = rep
           i = j
         } else {
           if (Gazetteers.personPronouns.contains(w) && lastPerson.nonEmpty)

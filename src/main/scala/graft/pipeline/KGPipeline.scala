@@ -90,6 +90,63 @@ object KGPipeline {
       .flatMapGroups((_, it) => Consistency.entityPass(it.toSeq))
   }
 
+  /** Fused stages 7+8: ONE shuffle on the canonical subject carries both
+   *  the X13-X18 pass and the graph materialize — every row of a
+   *  (subj, pred, obj) triple key lives inside its subject's group, so the
+   *  official rename, the noisy-or edge merge and the Triple projection
+   *  run group-locally; the separate triple-merge exchange disappears. */
+  def consistentTriples(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[Triple] = {
+    import spark.implicits._
+    fills.groupByKey(_.subj).flatMapGroups { (_, it) =>
+      val kept = Consistency.entityPass(it.toSeq)
+      // official rename + per-key noisy-or merge (deterministic: scores
+      // sorted before the log-domain sum, result rounded like
+      // aggregateBags; provenance = lexicographic argmax)
+      val acc = scala.collection.mutable.LinkedHashMap[
+        (String, String, String, String),
+        (List[Double], (Double, Provenance))]()
+      kept.foreach { f =>
+        val pred = Relations.officialName(f.pred)
+        val k = (f.subj_type, pred, f.obj, f.obj_type)
+        val sp = (f.score, f.prov)
+        acc.get(k) match {
+          case Some((scores, best)) =>
+            acc(k) = (f.score :: scores,
+              if (provOrdering.gt(sp, best)) sp else best)
+          case None => acc(k) = (List(f.score), sp)
+        }
+      }
+      val subj = kept.headOption.map(_.subj).getOrElse("")
+      acc.iterator.map { case ((st, pred, obj, ot), (scores, (_, prov))) =>
+        val merged = noisyOr(scores)
+        Triple(subj, entityId(subj, st), st, pred, obj, entityId(obj, ot),
+          ot, merged, prov.doc_id, prov.url, prov.sent_idx)
+      }
+    }
+  }
+
+  /** Scala twin of the SQL merge: 1 - prod(1-s) in the log domain, terms
+   *  sorted (order-independent), rounded to 12 decimals, capped at 1. */
+  private def noisyOr(scores: List[Double]): Double = {
+    val s = scores.map(x => math.log1p(-math.min(x, 1.0))).sorted.sum
+    math.min(1.0,
+      BigDecimal(1.0 - math.exp(s)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  private val provOrdering: Ordering[(Double, Provenance)] =
+    Ordering.by { case (s, p) =>
+      (s, p.doc_id, p.url, p.sent_idx, p.ent_b, p.ent_e, p.slot_b, p.slot_e)
+    }
+
+  /** Scala twin of Linker.idCol (same md5-hex format). */
+  def entityId(name: String, tpe: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest((tpe + "|" + name).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    "e:" + tpe.substring(0, math.min(3, tpe.length)).toLowerCase + ":" + h
+  }
+
   /** Symmetric relations (G4, SymmetricFunctionRewritePostProcessor):
    *  reverse edges for spouse/siblings/other_family/alternate_names. */
   private val symmetricPreds = Set("per:spouse", "per:siblings",
@@ -97,10 +154,15 @@ object KGPipeline {
 
   def symmetricExpand(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
     import spark.implicits._
-    val rev = fills.filter(f => symmetricPreds.contains(f.pred) &&
-        f.subj_type == f.obj_type && NER.isEntityType(f.obj_type))
-      .map(f => f.copy(subj = f.obj, obj = f.subj))
-    fills.unionByName(rev)
+    // column ops, not typed map: stays in whole-stage codegen (no object
+    // serde round-trip on the full fills stream)
+    val df = fills.toDF()
+    val rev = df.filter($"pred".isin(symmetricPreds.toSeq: _*) &&
+        $"subj_type" === $"obj_type" &&
+        $"obj_type".isin(NER.PERSON, NER.ORGANIZATION))
+      .select($"obj".as("subj"), $"subj_type", $"pred",
+        $"subj".as("obj"), $"obj_type", $"score", $"prov")
+    df.unionByName(rev).as[SlotFill]
   }
 
   /** Stage 8: graph materialize — edge merge by noisy-or
@@ -109,8 +171,13 @@ object KGPipeline {
    *  then Triple rows. */
   def triples(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[Triple] = {
     import spark.implicits._
-    val renamed = fills.map(f => f.copy(pred = Relations.officialName(f.pred)))
-    renamed.toDF()
+    // official rename as a broadcast map-literal lookup (codegen'd), not a
+    // typed map over objects
+    val renameMap = typedLit(Relations.official2013)
+    val renamed = fills.toDF()
+      .withColumn("pred",
+        coalesce(element_at(renameMap, $"pred"), $"pred"))
+    renamed
       .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
       .agg(
         round(lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0))))), 12).as("score"),
@@ -160,16 +227,28 @@ object KGPipeline {
     // unary is row-local (not checkpointed); linking + symmetric expansion
     // land together in fills_linked; the global X13-X18 pass runs on
     // CANONICAL subjects (reference order: merge -> symmetric -> pass 2)
+    Linker.lastAliasCount = -1L
     val link = ckpt("fills_linked",
       symmetricExpand(spark, linked(spark, unary(spark, bags))))
-    val cons = ckpt("fills_consistent", consistent(spark, link))
-    val out = ckpt("triples", triples(spark, cons), Seq("pred"))
+    // link-resolution telemetry (north_star metric): how many surface
+    // names the alias dictionary rewrote this run (-1 = stage resumed
+    // from its snapshot, nothing recomputed)
+    if (io.isDefined && Linker.lastAliasCount >= 0L)
+      metrics += ((runId, "link_aliases", Linker.lastAliasCount, 0L))
+    // stages 7+8 fused: one shuffle carries consistency AND the triple
+    // materialize (consistentTriples) — the triples table remains the
+    // resumable snapshot
+    val out = ckpt("triples", consistentTriples(spark, link), Seq("pred"))
     io.foreach { t =>
       val ms = metrics.result()
       if (ms.nonEmpty)
         t.write("metrics", ms.toDF("run_id", "stage", "rows", "millis")
           .withColumn("rows_per_sec",
             col("rows") / greatest(col("millis"), lit(1L)) * 1000))
+      // every stage is materialized in its snapshot table by now — drop
+      // the linker's intra-run persist so repeated checkpointed runs in
+      // one session don't accumulate cached blocks
+      spark.sharedState.cacheManager.clearCache()
     }
     out
   }

@@ -45,6 +45,6 @@ object StreamIngest {
     val bags = KGPipeline.aggregateBags(spark, fills)
     val linked = KGPipeline.symmetricExpand(spark,
       KGPipeline.linked(spark, KGPipeline.unary(spark, bags)))
-    KGPipeline.triples(spark, KGPipeline.consistent(spark, linked))
+    KGPipeline.consistentTriples(spark, linked)
   }
 }

@@ -34,10 +34,8 @@ object ScalingProbe {
       val link = time("linked")(KGPipeline.symmetricExpand(spark,
         graft.link.Linker.canonicalize(spark, un)).persist())
       time("linked-count")(link.count())
-      val cons = KGPipeline.consistent(spark, link).persist()
-      time("consistent")(cons.count())
-      val tri = KGPipeline.triples(spark, cons)
-      time("triples")(tri.count())
+      val tri = KGPipeline.consistentTriples(spark, link)
+      time("cons+triples")(tri.count())
       spark.stop()
     }
   }

@@ -118,6 +118,32 @@ class ConsistencySpec extends AnyFunSuite {
     assert(bad.map(_.pred) == Seq("per:city_of_birth"))
   }
 
+  test("X12 state fill implies country agreement; country aliases rename") {
+    val ok = Consistency.entityPass(Seq(
+      f("A", "per:stateorprovince_of_birth", "Texas", 1.0,
+        objType = NER.STATE_OR_PROVINCE),
+      f("A", "per:country_of_birth", "United States", 1.0,
+        objType = NER.COUNTRY)))
+    assert(ok.size == 2)
+    val bad = Consistency.entityPass(Seq(
+      f("A", "per:stateorprovince_of_birth", "Texas", 1.0,
+        objType = NER.STATE_OR_PROVINCE),
+      f("A", "per:country_of_birth", "France", 1.0,
+        objType = NER.COUNTRY)))
+    assert(bad.map(_.pred) == Seq("per:stateorprovince_of_birth"))
+    // canonical rename: U.S. -> United States (unary)
+    val r = Consistency.unaryOne(f("A", "per:country_of_birth", "U.S.",
+      objType = NER.COUNTRY)).get
+    assert(r.obj == "United States")
+  }
+
+  test("X5 invalid-title stop-set kills generic titles") {
+    assert(Consistency.unaryOne(
+      f("A", "per:title", "leader", objType = NER.TITLE)).isEmpty)
+    assert(Consistency.unaryOne(
+      f("A", "per:title", "engineer", objType = NER.TITLE)).isDefined)
+  }
+
   test("entityPass is idempotent") {
     val fills = Seq(
       f("A", "per:city_of_birth", "Paris", 0.9),

@@ -85,6 +85,13 @@ class DedupSpec extends AnyFunSuite {
     assert(out.contains(("B", "org:top_members/employees", "P Q")))
   }
 
+  test("SRP bucket bits scale with corpus size (log n)") {
+    import graft.dedup.NearDup.autoBits
+    assert(autoBits(500) == 8)          // sf scale: floor
+    assert(autoBits(1000000) >= 14)     // 10^6 vectors
+    assert(autoBits(1000000000L) >= 23) // 10^9 vectors: ~16M buckets
+  }
+
   test("trainer weights round-trip through parquet") {
     import org.apache.spark.ml.linalg.Vectors
     val w = Map("per:title" -> Vectors.sparse(8, Seq((1, 0.5), (3, -0.2))))

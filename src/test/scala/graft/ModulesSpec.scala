@@ -100,6 +100,17 @@ class ModulesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("Trainer: A5 alternate-value forms for known-slot matching") {
+    import graft.train.Trainer
+    assert(Trainer.alternateValues("1985-03-02").contains("1985-XX-XX"))
+    assert(Trainer.alternateValues("1985-XX-XX").isEmpty)
+    assert(Trainer.alternateValues("John Quincy Smith")
+      .contains("John Smith"))
+    assert(Trainer.alternateValues("Dr. John Smith Jr.")
+      .contains("John Smith"))
+    assert(Trainer.alternateValues("John Smith").isEmpty) // 2 tokens: no alt
+  }
+
   test("Trainer: threshold + subsample + one-vs-all LR learns a trigger") {
     val (pages, gold) = graft.fixtures.PageGen.corpus(30)
     val kb = gold.toSeq.map(g => (g.subj, g.pred, g.obj))
@@ -110,7 +121,10 @@ class ModulesSpec extends AnyFunSuite {
     val weights = Trainer.train(spark, spark.createDataset(pages), kb,
       Seq("per:title"))
     assert(weights.contains("per:title"))
-    assert(weights("per:title").numNonzeros > 0)
+    assert(weights("per:title").coefficients.numNonzeros > 0)
+    // the tuned threshold is at least the global default and no training
+    // negative crosses it
+    assert(weights("per:title").threshold >= 0.5)
   }
 
   test("RelationFilter keeps best pair per (sentence, relation)") {

@@ -68,6 +68,24 @@ class NlpSpec extends AnyFunSuite {
     assert(tag.ner(1) == NER.DURATION)
   }
 
+  test("coref: representative mention resolves cataphora + partial names") {
+    // surname appears BEFORE the full name in the document: the doc-wide
+    // inventory (pass 1) still finds the representative
+    val s1 = (Vector("Smith", "spoke", "first", "."),
+      Array(NER.PERSON, "O", "O", "O"))
+    val s2 = (Vector("John", "Smith", "repeated", "that", "."),
+      Array(NER.PERSON, NER.PERSON, "O", "O", "O"))
+    val ante = Coref.resolve(IndexedSeq(s1, s2))
+    assert(ante(0)(0) == "John Smith")
+    // partial multi-token name -> longest containing doc mention
+    val t1 = (Vector("Robert", "James", "Keller", "won", "."),
+      Array(NER.PERSON, NER.PERSON, NER.PERSON, "O", "O"))
+    val t2 = (Vector("Robert", "Keller", "spoke", "."),
+      Array(NER.PERSON, NER.PERSON, "O", "O"))
+    val a2 = Coref.resolve(IndexedSeq(t1, t2))
+    assert(a2(1)(0) == "Robert James Keller")
+  }
+
   test("coref: pronoun, surname and acronym antecedents") {
     val s1 = (Vector("John", "Smith", "works", "at", "IBM", "."),
       Array(NER.PERSON, NER.PERSON, "O", "O", NER.ORGANIZATION, "O"))

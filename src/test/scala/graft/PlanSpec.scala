@@ -48,10 +48,11 @@ class PlanSpec extends AnyFunSuite {
     // joins) — count DISTINCT physical exchanges by plan_id
     val ids = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    // expected: bag agg + names-distinct + block groupBy + canonical-entity
-    // group + final merge = 5; the driver union-find replaced the old
-    // 2-round propagation joins (was 14 exchanges in round 1)
-    assert(ids.size <= 8, s"exchange explosion (${ids.size}):\n$plan")
+    // expected: bag agg + names-distinct + block groupBy + the fused
+    // consistency+materialize group = 4; the driver union-find replaced
+    // the old 2-round propagation joins and the triple merge fused into
+    // the consistency shuffle (was 14 exchanges in round 1)
+    assert(ids.size <= 6, s"exchange explosion (${ids.size}):\n$plan")
   }
 
   test("alias dictionary rewrite is a broadcast join, never a shuffle") {

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.consistency.Consistency
+import graft.model.{NER, Provenance, SlotFill}
+
+/** Hot-entity (Zipf-skew) fixture promised by FIXTURES.md §1: one subject
+ *  carrying tens of thousands of fills must flow through the per-entity
+ *  consistency pass as a LINEAR task — the round-1 implementation was
+ *  O(n²) accumulator scans and a 50k-fill subject would be a multi-minute
+ *  straggler; this spec hangs rather than passes if that regresses. */
+class SkewSpec extends AnyFunSuite {
+
+  private val prov = Provenance("d", "u", 0, 0, 1, 2, 3)
+
+  test("50k-fill hot subject: linear entityPass, argmax + dedup intact") {
+    val listFills = (0 until 50000).map(k =>
+      SlotFill("Hot Person", NER.PERSON, "per:cities_of_residence",
+        s"Ville$k", NER.CITY, 0.9 - k * 1e-8, prov))
+    // 5k conflicting SINGLE-cardinality fills -> exactly one survives
+    val singleFills = (0 until 5000).map(k =>
+      SlotFill("Hot Person", NER.PERSON, "per:date_of_birth",
+        f"${1900 + k % 100}%04d-01-02", NER.DATE, 0.5 + k * 1e-8, prov))
+    // exact duplicates -> collapse to one each
+    val dups = (0 until 5000).map(k =>
+      SlotFill("Hot Person", NER.PERSON, "per:title", "engineer",
+        NER.TITLE, 0.4 + k * 1e-8, prov))
+    val t0 = System.nanoTime()
+    val out = Consistency.entityPass(listFills ++ singleFills ++ dups)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.count(_.pred == "per:date_of_birth") == 1)
+    assert(out.count(_.pred == "per:title") == 1)
+    assert(out.count(_.pred == "per:cities_of_residence") == 50000)
+    // X15 kept the best-scoring SINGLE fill
+    val dob = out.find(_.pred == "per:date_of_birth").get
+    assert(dob.score == singleFills.map(_.score).max)
+    // linear pass: generous bound for a noisy VM, but far below the
+    // minutes an O(n²) pass would take
+    assert(sec < 60.0, s"entityPass took $sec s on 60k fills")
+  }
+
+  test("Zipf-hot slot value: 'United States' in ~30% of pages (FIXTURES §1)") {
+    // the promised skewed variant: one hot entity as slot value across a
+    // third of the corpus — exercises the bag-agg / linking key paths
+    // under value skew (no per-obj shuffle key exists, so the hot value
+    // must NOT concentrate into one task anywhere)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 900
+    val pages = (0 until n).map { i =>
+      val p = graft.fixtures.PageGen.person(i)
+      val where = if (i % 3 == 0) "United States"
+        else Seq("France", "Germany", "Japan")(i % 3 - 1)
+      graft.model.Page(s"https://z.example/$i",
+        new java.sql.Timestamp(1700000000000L + i),
+        Array.emptyByteArray, s"$p lives in $where.", "en")
+    }
+    val triples = graft.pipeline.KGPipeline.run(spark,
+      spark.createDataset(pages)).collect()
+    val us = triples.filter(t => t.pred == "per:countries_of_residence" &&
+      t.obj == "United States")
+    assert(us.length == n / 3, s"expected ${n / 3} hot fills, got ${us.length}")
+    assert(us.map(_.subj).distinct.length == n / 3)
+  }
+
+  test("hot subject flows through the distributed consistency stage") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fills = ((0 until 5000).map(k =>
+      SlotFill("Hot Person", NER.PERSON, "per:cities_of_residence",
+        s"Ville$k", NER.CITY, 0.9, prov)) :+
+      SlotFill("Cold Person", NER.PERSON, "per:title", "engineer",
+        NER.TITLE, 0.9, prov)).toDS()
+    val out = graft.pipeline.KGPipeline.consistent(spark, fills)
+    assert(out.count() == 5001)
+  }
+}
