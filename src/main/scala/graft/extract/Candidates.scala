@@ -82,6 +82,42 @@ object Candidates {
 
   private def sp(s: String) = s.replace(' ', '_') // FeatureFactory.java:129-141
 
+  /** Per-JVM memo of word-keyed feature strings: the vocabulary repeats
+   *  massively across candidates, and the NLP stage is allocation-bound
+   *  on this VM — building "family=word" once per (family, word) instead
+   *  of once per candidate is a measured win. The emitted strings are
+   *  byte-identical to the unmemoized form (the frozen LR's feature
+   *  space). Bounded: beyond 2^20 distinct words a family falls back to
+   *  direct construction. */
+  private final class FeatureMemo(make: String => String) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val fn = new java.util.function.Function[String, String] {
+      def apply(w: String): String = make(w)
+    }
+    def apply(w: String): String =
+      if (m.size > (1 << 20)) make(w)
+      else m.computeIfAbsent(w, fn)
+  }
+  private val betweenUniF = new FeatureMemo(w => "between_uni=" + sp(w))
+  private val betweenClF =
+    new FeatureMemo(w => "between_cluster=" + Gazetteers.wordCluster(w))
+  private val entPrevF = new FeatureMemo(w => "ent_prev=" + sp(w))
+  private val entNextF = new FeatureMemo(w => "ent_next=" + sp(w))
+  private val slotPrevF = new FeatureMemo(w => "slot_prev=" + sp(w))
+  private val slotNextF = new FeatureMemo(w => "slot_next=" + sp(w))
+  private val entPrevClF =
+    new FeatureMemo(w => "ent_prev_cluster=" + Gazetteers.wordCluster(w))
+  private val entNextClF =
+    new FeatureMemo(w => "ent_next_cluster=" + Gazetteers.wordCluster(w))
+  private val slotPrevClF =
+    new FeatureMemo(w => "slot_prev_cluster=" + Gazetteers.wordCluster(w))
+  private val slotNextClF =
+    new FeatureMemo(w => "slot_next_cluster=" + Gazetteers.wordCluster(w))
+  private val arg2WordF = new FeatureMemo(w => "arg2word=" + sp(w))
+  private val arg2ClF =
+    new FeatureMemo(w => "arg2cluster=" + Gazetteers.wordCluster(w))
+  private val arg2SpanF = new FeatureMemo(w => "arg2span_uni=" + sp(w))
+
   /** Surface feature families -> ARRAY<STRING> sparse vector
    *  (FeatureFactory.java families, production set minus the
    *  parse/dependency ones — SURVEY.md §2.4 F1):
@@ -104,34 +140,34 @@ object Candidates {
     // surface_distance_binary (:259-266): close pairs are special
     if (dist <= 4) f += "dist_binary=short"
     val betweenLc = between.map(_.toLowerCase)
-    betweenLc.foreach(w => f += s"between_uni=${sp(w)}")
+    betweenLc.foreach(w => f += betweenUniF(w))
     betweenLc.sliding(2).filter(_.length == 2)
       .foreach(bi => f += s"between_bi=${sp(bi.mkString("_"))}")
-    betweenLc.foreach(w => f += s"between_cluster=${Gazetteers.wordCluster(w)}")
+    betweenLc.foreach(w => f += betweenClF(w))
     // adjacent words + clusters (windows of 1 around each span)
     if (eb > 0) {
       val w = words(eb - 1).toLowerCase
-      f += s"ent_prev=${sp(w)}"; f += s"ent_prev_cluster=${Gazetteers.wordCluster(w)}"
+      f += entPrevF(w); f += entPrevClF(w)
     }
     if (ee < words.length) {
       val w = words(ee).toLowerCase
-      f += s"ent_next=${sp(w)}"; f += s"ent_next_cluster=${Gazetteers.wordCluster(w)}"
+      f += entNextF(w); f += entNextClF(w)
     }
     if (sb > 0) {
       val w = words(sb - 1).toLowerCase
-      f += s"slot_prev=${sp(w)}"; f += s"slot_prev_cluster=${Gazetteers.wordCluster(w)}"
+      f += slotPrevF(w); f += slotPrevClF(w)
     }
     if (se < words.length) {
       val w = words(se).toLowerCase
-      f += s"slot_next=${sp(w)}"; f += s"slot_next_cluster=${Gazetteers.wordCluster(w)}"
+      f += slotNextF(w); f += slotNextClF(w)
     }
     // arg2 span words (arg1 not lexicalized): head + every span unigram
     val head = words(se - 1).toLowerCase
-    f += s"arg2word=${sp(head)}"
-    f += s"arg2cluster=${Gazetteers.wordCluster(head)}"
+    f += arg2WordF(head)
+    f += arg2ClF(head)
     var k = sb
     while (k < se) {
-      f += s"arg2span_uni=${sp(words(k).toLowerCase)}"
+      f += arg2SpanF(words(k).toLowerCase)
       k += 1
     }
     // entities-between + counts (:401-449): NE runs strictly between spans

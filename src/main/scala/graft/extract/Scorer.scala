@@ -62,17 +62,30 @@ object Scorer {
     .setNumFeatures(graft.train.Trainer.NumFeatures)
 
   /** (probability, decision threshold) for one relation: frozen trained LR
-   *  when shipped, hand-set fallback otherwise. */
-  def lrScoreAndThreshold(rel: String, features: Seq[String])
-      : (Double, Double) =
+   *  when shipped, hand-set fallback otherwise. `hashed` carries the
+   *  feature hashes computed ONCE per mention (41 relations share them —
+   *  re-hashing per relation was a measured hot spot). */
+  def lrScoreAndThreshold(rel: String, features: Seq[String],
+                          hashed: Array[Int] = null): (Double, Double) =
     frozen.get(rel) match {
       case Some(m) =>
         var s = m.intercept
-        features.foreach(f =>
-          s += m.weights.getOrElse(hasher.indexOf(f), 0.0))
+        val hs = if (hashed != null) hashed else hashFeatures(features)
+        var i = 0
+        while (i < hs.length) {
+          s += m.weights.getOrElse(hs(i), 0.0)
+          i += 1
+        }
         (sigmoid(s), m.threshold)
       case None => (lrScore(rel, features), Threshold)
     }
+
+  def hashFeatures(features: Seq[String]): Array[Int] = {
+    val out = new Array[Int](features.length)
+    var i = 0
+    features.foreach { f => out(i) = hasher.indexOf(f); i += 1 }
+    out
+  }
 
   /** X5 stop-sets (ConformToGuidelinesFilter,
    *  HeuristicSlotfillPostProcessors.java:167-186): between-span phrases
@@ -133,10 +146,11 @@ object Scorer {
     val typed = Relations.all.iterator.filter { m =>
       m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
     }
+    val hashed = if (frozen.nonEmpty) hashFeatures(c.features) else null
     betweenPass(c, typed.flatMap { m =>
       if (ruleHits.contains(m.name)) Some(m.name -> 1.0)
       else {
-        val (p, thr) = lrScoreAndThreshold(m.name, c.features)
+        val (p, thr) = lrScoreAndThreshold(m.name, c.features, hashed)
         if (p > thr) Some(m.name -> p) else None
       }
     }.toSeq)

@@ -41,12 +41,17 @@ object KGPipeline {
       .mapPartitions(_.flatMap(Annotator.annotate))
   }
 
-  /** Stages 2-4: mentions -> candidate pairs -> per-mention scores, fused in
-   *  one narrow pass (no shuffle). */
+  /** Stages 2-4 (+5b): mentions -> candidate pairs -> per-mention scores
+   *  -> unary consistency (X1-X12 row-local checks/rewrites), fused in one
+   *  narrow pass — no shuffle, and no separate typed stage re-serializing
+   *  the fills stream just to run a row-local filter. Applying the unary
+   *  rewrites (date padding, nationality->country) BEFORE bag aggregation
+   *  also unifies keys earlier, shrinking the shuffle. */
   def mentionFills(spark: SparkSession, sents: Dataset[Sentence]): Dataset[SlotFill] = {
     import spark.implicits._
     sents.mapPartitions(_.flatMap(s =>
-      Candidates.fromSentence(s).flatMap(Scorer.toFills)))
+      Candidates.fromSentence(s).flatMap(Scorer.toFills)
+        .flatMap(Consistency.unaryOne)))
   }
 
   /** Stage 5: bag aggregation — merge per-mention scores for the same
@@ -71,8 +76,8 @@ object KGPipeline {
       .as[SlotFill]
   }
 
-  /** Stage 5b: unary consistency (X1-X12 per-fill checks) — row-local,
-   *  fused into the same stage as the bag aggregation's output. */
+  /** Stage 5b standalone (the pipeline fuses this into mentionFills):
+   *  unary consistency (X1-X12 per-fill checks), row-local. */
   def unary(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
     import spark.implicits._
     fills.flatMap(Consistency.unaryOne)
@@ -222,14 +227,15 @@ object KGPipeline {
         case None => ds
       }
     val sents = ckpt("sentences", sentences(spark, pages))
+    // mentionFills includes the fused row-local unary pass (X1-X12)
     val raw = ckpt("fills_raw", mentionFills(spark, sents))
     val bags = ckpt("fills_merged", aggregateBags(spark, raw))
-    // unary is row-local (not checkpointed); linking + symmetric expansion
-    // land together in fills_linked; the global X13-X18 pass runs on
-    // CANONICAL subjects (reference order: merge -> symmetric -> pass 2)
+    // linking + symmetric expansion land together in fills_linked; the
+    // global X13-X18 pass runs on CANONICAL subjects (reference order:
+    // merge -> symmetric -> pass 2)
     Linker.lastAliasCount = -1L
     val link = ckpt("fills_linked",
-      symmetricExpand(spark, linked(spark, unary(spark, bags))))
+      symmetricExpand(spark, linked(spark, bags)))
     // link-resolution telemetry (north_star metric): how many surface
     // names the alias dictionary rewrote this run (-1 = stage resumed
     // from its snapshot, nothing recomputed)

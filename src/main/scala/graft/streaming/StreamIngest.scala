@@ -41,10 +41,11 @@ object StreamIngest {
    *  per-canonical-entity consistency -> merge). */
   def compact(spark: SparkSession, root: String): Dataset[graft.model.Triple] = {
     import spark.implicits._
+    // the streamed fills already went through the fused unary pass
     val fills = spark.read.parquet(s"$root/fills_log").as[SlotFill]
     val bags = KGPipeline.aggregateBags(spark, fills)
     val linked = KGPipeline.symmetricExpand(spark,
-      KGPipeline.linked(spark, KGPipeline.unary(spark, bags)))
+      KGPipeline.linked(spark, bags))
     KGPipeline.consistentTriples(spark, linked)
   }
 }

@@ -29,10 +29,8 @@ object ScalingProbe {
       time("fills")(raw.count())
       val bags = KGPipeline.aggregateBags(spark, raw).persist()
       time("bags")(bags.count())
-      val un = KGPipeline.unary(spark, bags).persist()
-      time("unary")(un.count())
       val link = time("linked")(KGPipeline.symmetricExpand(spark,
-        graft.link.Linker.canonicalize(spark, un)).persist())
+        graft.link.Linker.canonicalize(spark, bags)).persist())
       time("linked-count")(link.count())
       val tri = KGPipeline.consistentTriples(spark, link)
       time("cons+triples")(tri.count())

@@ -37,10 +37,9 @@ object TailProbe {
           graft.fixtures.PageGen.page(i.toInt)._1)
         val bags = KGPipeline.aggregateBags(spark,
           KGPipeline.mentionFills(spark, KGPipeline.sentences(spark, pages)))
-        val un = KGPipeline.unary(spark, bags)
-        // job A: eager alias build (persists `un` internally)
+        // job A: eager alias build (persists the bags internally)
         val linked = time(s"r$round-jobA")(
-          KGPipeline.symmetricExpand(spark, KGPipeline.linked(spark, un)))
+          KGPipeline.symmetricExpand(spark, KGPipeline.linked(spark, bags)))
         // job B: downstream shuffle off the cache (fused stage 7+8)
         time(s"r$round-jobB")(
           KGPipeline.consistentTriples(spark, linked).count())

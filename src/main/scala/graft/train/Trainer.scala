@@ -34,9 +34,10 @@ object Trainer {
                            coefficients: org.apache.spark.ml.linalg.Vector,
                            threshold: Double)
 
-  /** Inference-side view of one frozen LR (sparse, broadcastable). */
+  /** Inference-side view of one frozen LR (sparse, broadcastable;
+   *  IntMap = specialized int keys, no boxing on the hot lookup path). */
   final case class FrozenLR(intercept: Double, threshold: Double,
-                            weights: Map[Int, Double])
+                            weights: scala.collection.immutable.IntMap[Double])
 
   /** A5 alternate-value forms for known-slot matching
    *  (RelationMentionAnnotator.java:349-365 slot matching, :407-466
@@ -189,7 +190,8 @@ object Trainer {
       }.toSeq.groupBy(_._1).map { case (rel, rows) =>
         val intercept = rows.find(_._2 == -1).map(_._3).getOrElse(0.0)
         val threshold = rows.find(_._2 == -2).map(_._3).getOrElse(0.5)
-        val ws = rows.filter(_._2 >= 0).map(r => r._2 -> r._3).toMap
+        val ws = scala.collection.immutable.IntMap(
+          rows.filter(_._2 >= 0).map(r => r._2 -> r._3): _*)
         rel -> FrozenLR(intercept, threshold, ws)
       }
     } finally src.close()

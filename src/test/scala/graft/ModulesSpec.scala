@@ -100,6 +100,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("S5/S6 gazetteer + cluster file scans parse the reference formats") {
+    import graft.sources.GazetteerFiles
+    val dir = java.nio.file.Files.createTempDirectory("graft-gaz")
+    def w(name: String, content: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, content)
+      p.toString
+    }
+    val cities = GazetteerFiles.cities(spark,
+      w("kbp_cities.tab", "Paris\tIDF\tFR\t2100000\nAustin\tTX\tUS\t950000"))
+    val regions = GazetteerFiles.codeToName(spark,
+      w("kbp_regions.tab", "Ile-de-France\tIDF\nTexas\tTX"))
+    val countries = GazetteerFiles.codeToName(spark,
+      w("kbp_countries.tab", "France\tFR\nUnited States\tUS"))
+    val resolved = GazetteerFiles.resolvedCities(cities, regions, countries)
+    assert(resolved("Paris") == ("Ile-de-France", "France"))
+    assert(resolved("Austin") == ("Texas", "United States"))
+    val clusters = GazetteerFiles.wordClusters(spark,
+      w("clusters.tsv", "founded\tc41\ncreated\tc41"))
+    assert(clusters("founded") == "c41" && clusters("created") == "c41")
+    val names = GazetteerFiles.commonNames(spark,
+      w("common_names.txt", "John\nMary\n"))
+    assert(names == Set("John", "Mary"))
+  }
+
   test("Trainer: A5 alternate-value forms for known-slot matching") {
     import graft.train.Trainer
     assert(Trainer.alternateValues("1985-03-02").contains("1985-XX-XX"))
