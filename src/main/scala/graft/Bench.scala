@@ -89,9 +89,9 @@ object Bench {
     // 32-thread mark) — 8/32 would measure the host's oversubscription,
     // not the pipeline's scaling. The calibration numbers are emitted in
     // the JSON so the choice is auditable per-run.
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "300000").toInt
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "500000").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
     spark.stop()
     // INTERLEAVED rounds (N, 4N, N, 4N, ...), best-of per level: the
     // sandbox host has multi-minute throttling windows that would poison

@@ -40,6 +40,24 @@ object BagAgg {
       .as[SlotFill]
   }
 
+  /** C2's default output mode `y_then_noisy_or`
+   *  (JointBayesRelationExtractor.java:1989-2110; mode constant
+   *  Props.java:332-337): noisy-or aggregate the per-mention z scores,
+   *  then keep only relations whose merged score crosses the
+   *  per-relation y threshold (default 0.5). The per-relation thresholds
+   *  come from the frozen trained model when shipped. */
+  def yThenNoisyOr(spark: SparkSession, fills: Dataset[SlotFill],
+                   thresholds: Map[String, Double] = Map.empty,
+                   defaultThreshold: Double = 0.5): Dataset[SlotFill] = {
+    import spark.implicits._
+    val merged = aggregate(spark, fills, NoisyOr)
+    val thrCol =
+      if (thresholds.isEmpty) lit(defaultThreshold)
+      else coalesce(element_at(typedLit(thresholds), $"pred"),
+        lit(defaultThreshold))
+    merged.toDF().filter($"score" >= thrCol).as[SlotFill]
+  }
+
   /** T1: softmax-normalize scores within each bag (partition = the KBPair),
    *  gamma = 1.0: p_i' = exp(g*p_i) / sum_j exp(g*p_j). */
   def softmaxNormalize(df: DataFrame, gamma: Double = 1.0): DataFrame = {

@@ -85,6 +85,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.contains(("B", "org:top_members/employees", "P Q")))
   }
 
+  test("C2 y_then_noisy_or: merged bags gated by per-relation thresholds") {
+    import graft.model.{NER, Provenance, SlotFill}
+    val prov = Provenance("d", "u", 0, 0, 1, 2, 3)
+    def f(pred: String, score: Double) =
+      SlotFill("A", NER.PERSON, pred, "x", NER.TITLE, score, prov)
+    val fills = Seq(f("per:title", 0.4), f("per:title", 0.4), // noisy-or .64
+      f("per:religion", 0.55)).toDS()
+    val out = graft.extract.BagAgg.yThenNoisyOr(spark, fills,
+      thresholds = Map("per:religion" -> 0.9)).collect()
+    // title's merged 0.64 crosses the default 0.5; religion's 0.55 is
+    // below its per-relation 0.9 cutoff
+    assert(out.map(_.pred).toSeq == Seq("per:title"))
+    assert(math.abs(out.head.score - (1 - 0.6 * 0.6)) < 1e-9)
+  }
+
   test("SRP bucket bits scale with corpus size (log n)") {
     import graft.dedup.NearDup.autoBits
     assert(autoBits(500) == 8)          // sf scale: floor
