@@ -7,9 +7,17 @@ import org.apache.spark.sql.SparkSession
  * SPARK_GRAFT_SF_DIR, ONE JSON line on stdout.
  *
  * Also evidences the north-rule two-cluster-size criterion in-sandbox:
- * the same KG job at local[8] and local[32] on the same input, reporting
+ * the same KG job at local[N] and local[4N] on the same input, reporting
  * throughput at both and scaling efficiency = (thr_4N / thr_N) / 4
  * (no real cluster available — BASELINE.md "Targets").
+ *
+ * Evidence-survival design (round-2 postmortem — BENCH_r02 was rc=124 with
+ * an empty tail): the headline+kg JSON line is printed BEFORE the scaling
+ * loop, and the loop re-prints a progressively more complete line after
+ * every finished round, so a timeout at ANY point leaves the most complete
+ * measurement as the LAST json line on stdout. The loop is additionally
+ * wall-clock-budgeted (SPARK_GRAFT_SCALE_BUDGET_S): it stops interleaving
+ * rounds when the next round would not fit and reports what completed.
  */
 object Bench {
 
@@ -52,6 +60,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0Main) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES",
@@ -65,7 +75,7 @@ object Bench {
       "q05_star_join", "q11_running", "q13_docs_tokens",
       "q18_docs_jaccard", "q19_docs_minhash_lsh", "q20_embed_topk")
 
-    var spark = session(cpus)
+    val spark = session(cpus)
     // warm up codegen/JIT/classloading so timings measure the engine,
     // not first-query compilation
     SparkEntry.queries("q09_dedup")(spark, sfDir).count()
@@ -80,6 +90,18 @@ object Bench {
     val (nTriples, kgSec) = kgRun(spark, kgPages)
     val kgThr = kgPages / kgSec
 
+    val qs = (qTimes :+ ("kg_pipeline" -> kgSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = qTimes.map(_._2).sum + kgSec
+    val baseJson =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${f"$kgThr%.1f"},"triples_per_sec":${f"${nTriples / kgSec}%.1f"}}"""
+    // evidence checkpoint #1: headline+kg survives even if the scaling
+    // loop below is killed by the driver's timeout
+    println(baseJson + "}")
+    Console.out.flush()
+
     // scaling: same job at N and 4N threads on a compute-dominated input
     // size (fixed scheduler/driver overhead amortized away — at real
     // cluster scale the NLP/extraction stages dominate the same way).
@@ -89,9 +111,15 @@ object Bench {
     // 32-thread mark) — 8/32 would measure the host's oversubscription,
     // not the pipeline's scaling. The calibration numbers are emitted in
     // the JSON so the choice is auditable per-run.
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "500000").toInt
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "300000").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // wall-clock guard for the WHOLE bench process (round-2 postmortem:
+    // 500k pages x 5 rounds outran the driver's budget and left rc=124
+    // with nothing parseable). Before each round after the first, the
+    // loop checks that the worst observed round still fits; otherwise it
+    // stops and reports the rounds that completed.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "1500").toDouble
     spark.stop()
     // INTERLEAVED rounds (N, 4N, N, 4N, ...), best-of per level: the
     // sandbox host has multi-minute throttling windows that would poison
@@ -113,43 +141,55 @@ object Bench {
     val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
     val calibsN = scala.collection.mutable.ArrayBuffer[Double]()
     val calibs4N = scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to rounds) {
-      calibsN += calibMops(scaleN)
-      secsN += oneRun(scaleN)
-      calibs4N += calibMops(scaleN * 4)
-      secs4N += oneRun(scaleN * 4)
-    }
-    val calibN = calibsN.max
-    val calib4N = calibs4N.max
-    val thrN = scalePages / secsN.min
-    val thr4N = scalePages / secs4N.min
-    // headline efficiency = BEST-OF-K PER LEVEL (standard best-of-N
-    // benchmarking): the host's throttling is bursty and hits the
-    // higher-thread runs disproportionately, so the fastest run at each
-    // level is the machine's true capability there. The per-round paired
-    // ratios and the bracketing pure-compute calibrations are emitted
-    // alongside so the estimator is auditable against the raw data.
-    val eff = (thr4N / thrN) / 4.0
-    val effs = secsN.zip(secs4N).map { case (a, b) => (a / b) / 4.0 }.sorted
-    val effPairedMedian =
-      if (effs.size % 2 == 1) effs(effs.size / 2)
-      else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
 
-    val qs = (qTimes :+ ("kg_pipeline" -> kgSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = qTimes.map(_._2).sum + kgSec
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${f"$kgThr%.1f"},"triples_per_sec":${f"${nTriples / kgSec}%.1f"}},""" +
+    def scalingJson(): String = {
+      val calibN = calibsN.max
+      val calib4N = calibs4N.max
+      val thrN = scalePages / secsN.min
+      val thr4N = scalePages / secs4N.min
+      // headline efficiency = BEST-OF-K PER LEVEL (standard best-of-N
+      // benchmarking): the host's throttling is bursty and hits the
+      // higher-thread runs disproportionately, so the fastest run at each
+      // level is the machine's true capability there. The per-round paired
+      // ratios and the bracketing pure-compute calibrations are emitted
+      // alongside so the estimator is auditable against the raw data.
+      val eff = (thr4N / thrN) / 4.0
+      val effs = secsN.zip(secs4N).map { case (a, b) => (a / b) / 4.0 }.sorted
+      val effPairedMedian =
+        if (effs.size % 2 == 1) effs(effs.size / 2)
+        else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
       s""""scaling":{"pages":$scalePages,"n_threads":$scaleN,"n4_threads":${scaleN * 4},""" +
+      s""""rounds_completed":${secsN.length},"rounds_requested":$rounds,"budget_s":${f"$budgetS%.0f"},""" +
       s""""local_n_pages_per_sec":${f"$thrN%.1f"},"local_4n_pages_per_sec":${f"$thr4N%.1f"},""" +
       s""""efficiency_n_to_4n":${f"$eff%.3f"},""" +
       s""""efficiency_paired_median":${f"$effPairedMedian%.3f"},""" +
       s""""round_efficiencies":[${secsN.zip(secs4N).map { case (a, b) => f"${a / b / 4.0}%.3f" }.mkString(",")}],""" +
       s""""runs_n_sec":[${secsN.map(s => f"$s%.1f").mkString(",")}],""" +
       s""""runs_4n_sec":[${secs4N.map(s => f"$s%.1f").mkString(",")}],""" +
-      s""""calibration":{"pure_compute_n_mops":${f"$calibN%.0f"},"pure_compute_4n_mops":${f"$calib4N%.0f"},"pure_compute_scaling":${f"${calib4N / calibN / 4.0}%.3f"}}}}""")
+      s""""calibration":{"pure_compute_n_mops":${f"$calibN%.0f"},"pure_compute_4n_mops":${f"$calib4N%.0f"},"pure_compute_scaling":${f"${calib4N / calibN / 4.0}%.3f"}}}"""
+    }
+
+    var worstRoundS = 0.0
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      // budget check: always run round 1; afterwards only start a round
+      // if the slowest round seen so far still fits the remaining budget
+      if (r > 1 && elapsed + worstRoundS > budgetS) { stop = true }
+      else {
+        val tRound0 = System.nanoTime()
+        calibsN += calibMops(scaleN)
+        secsN += oneRun(scaleN)
+        calibs4N += calibMops(scaleN * 4)
+        secs4N += oneRun(scaleN * 4)
+        worstRoundS = math.max(worstRoundS, (System.nanoTime() - tRound0) / 1e9)
+        // evidence checkpoint per round: the LAST json line on stdout is
+        // always the most complete measurement so far
+        println(baseJson + "," + scalingJson() + "}")
+        Console.out.flush()
+        r += 1
+      }
+    }
   }
 
   /** Machine calibration: register-only FNV-mix loop, `threads` ways.

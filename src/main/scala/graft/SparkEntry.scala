@@ -286,7 +286,13 @@ object SparkEntry {
     }),
     "q22_simhash" -> q((s, d) => {
       import s.implicits._
-      graft.dedup.SimHash.simhashDF(t(s, d, "documents")).orderBy($"doc_id")
+      // md5-derived 64-bit simhash, emitted as unsigned 32-bit halves +
+      // 16-bit LSH bands — every column integer-exact and reproducible by
+      // the DuckDB oracle via hex-digit arithmetic over md5(token)
+      graft.dedup.SimHash.simhashDF(t(s, d, "documents"))
+        .select($"doc_id", $"sim_hi", $"sim_lo",
+          $"band0", $"band1", $"band2", $"band3")
+        .orderBy($"doc_id")
     }),
     "q23_media_features" -> q((s, d) =>
       graft.multimodal.Multimodal.featureQuery(s, d)),
@@ -515,6 +521,45 @@ object SparkEntry {
           AND len(regexp_extract_all(text, '\S+')) >= 5
           AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
               / greatest(len(regexp_extract_all(text, '\S+')), 1) < 15) AS quality_ok
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q22_simhash" -> simhashOracleSql
   )
+
+  /** DuckDB mirror of SimHash.simhash64 (generated: 64 per-bit vote sums).
+   *  Token hash = first 16 hex chars of md5(token); bit b of that value
+   *  lives in hex digit 15 - b/4 (0-indexed from the left), within-digit
+   *  bit b%4 — recomputed here with strpos/integer arithmetic, so the
+   *  whole fingerprint is integer-exact on both engines. Docs with no
+   *  tokens get the all-zero fingerprint via the LEFT JOIN (matching the
+   *  Spark side's empty-vote default). */
+  private def simhashOracleSql: String = {
+    def bitExpr(b: Int): String = {
+      val pos = 16 - b / 4 // 1-indexed substr position of the hex digit
+      val shift = 1 << (b % 4)
+      s"((strpos('0123456789abcdef', substr(m, $pos, 1)) - 1) // $shift) % 2"
+    }
+    val votes = (0 until 64)
+      .map(b => s"sum(CASE WHEN ${bitExpr(b)} = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until 64)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b$b")
+      .mkString(", ")
+    val lo = (0 until 32).map(b => s"b$b * ${1L << b}").mkString(" + ")
+    val hi = (32 until 64).map(b => s"b$b * ${1L << (b - 32)}").mkString(" + ")
+    val bands = (0 until 4).map { k =>
+      val terms = (0 until 16).map(i => s"b${k * 16 + i} * ${1L << i}")
+        .mkString(" + ")
+      s"coalesce(CAST($terms AS BIGINT), 0) AS band$k"
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        h AS (SELECT doc_id, md5(word) AS m FROM w WHERE word <> ''),
+        v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+        bits AS (SELECT doc_id, $bits FROM v)
+        SELECT d.doc_id,
+          coalesce(CAST($hi AS BIGINT), 0) AS sim_hi,
+          coalesce(CAST($lo AS BIGINT), 0) AS sim_lo,
+          $bands
+        FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+        ORDER BY d.doc_id"""
+  }
 }

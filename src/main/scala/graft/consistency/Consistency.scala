@@ -30,14 +30,15 @@ object Consistency {
    *  HeuristicSlotfillPostProcessors.java:180-186,223). */
   private val invalidTitles = Set("senior leader", "leader", "member",
     "hero", "socialite")
-  private val countryAliases = Map(
-    "U.S." -> "United States", "USA" -> "United States",
-    "U.S.A." -> "United States", "America" -> "United States",
-    "U.K." -> "United Kingdom", "UK" -> "United Kingdom")
-  /** state -> country, derived from the city gazetteer (functional:
-   *  a state belongs to one country). */
-  private lazy val stateCountry: Map[String, String] =
-    Gazetteers.cities.values.toMap
+  /** The X12 geo suite (region-containment hierarchy, canonicalizers,
+   *  population-weighted entailment) — WorldKnowledgePostProcessor.java. */
+  val geo: WorldKnowledge = WorldKnowledge.default
+
+  private val statePreds = Set("per:stateorprovince_of_birth",
+    "per:stateorprovince_of_death", "per:stateorprovinces_of_residence",
+    "org:stateorprovince_of_headquarters")
+  private val cityPreds = Set("per:city_of_birth", "per:city_of_death",
+    "per:cities_of_residence", "org:city_of_headquarters")
 
   /** Character 4-gram overlap used by FilterUnrelatedURL
    *  (HeuristicSlotfillPostProcessors.java:255-295). */
@@ -89,10 +90,18 @@ object Consistency {
       Gazetteers.nationalities.get(fill.obj).foreach { c =>
         fill = fill.copy(obj = c, obj_type = NER.COUNTRY)
       }
-    // X12 canonical country renames (WorldKnowledgePostProcessor alias
-    // tables): abbreviated country surfaces -> gazetteer-canonical names
+    // X12 canonical country renames (WorldKnowledgePostProcessor alternate-
+    // name + country-code tables, :286-299): abbreviated/alternate country
+    // surfaces -> gazetteer-canonical display names
     if (fill.obj_type == NER.COUNTRY)
-      countryAliases.get(fill.obj).foreach(c => fill = fill.copy(obj = c))
+      geo.countryRename(fill.obj).foreach(c => fill = fill.copy(obj = c))
+    // X12 region-CODE canonical rename ("CA" -> "California";
+    // canonicalizeRegion's code2region path, :280-289)
+    if (fill.obj_type == NER.STATE_OR_PROVINCE || statePreds.contains(fill.pred))
+      geo.regionCodeRename(fill.obj).foreach(r => fill = fill.copy(obj = r))
+    // X12 city-abbreviation rename ("NYC" -> "New York"; abbrv2city, :270)
+    if (cityPreds.contains(fill.pred))
+      geo.cityAbbrevRename(fill.obj).foreach(c => fill = fill.copy(obj = c))
     // X5 invalid-title stop-set (:223)
     if (fill.pred == "per:title" &&
         invalidTitles.contains(fill.obj.toLowerCase)) return None
@@ -193,46 +202,63 @@ object Consistency {
     val hasDod = fills.exists(_.pred == "per:date_of_death")
     fills = fills.filter(f => !deathLocPreds.contains(f.pred) || hasDod)
 
-    // X12 pairwise geo consistency (WorldKnowledgePostProcessor.java:24-674):
-    // city fill implies state/country agreement when those fills exist
-    def geoOk(cityPred: String, statePred: String, countryPred: String): Seq[SlotFill] = {
-      val city = fills.find(_.pred == cityPred)
-      city match {
-        case Some(cf) => Gazetteers.cities.get(cf.obj) match {
-          case Some((st, co)) =>
-            fills.filterNot(f =>
-              (f.pred == statePred && f.obj != st) ||
-              (f.pred == countryPred && f.obj != co))
-          case None => fills
-        }
-        case None => fills
-      }
-    }
-    fills = geoOk("per:city_of_birth", "per:stateorprovince_of_birth",
-      "per:country_of_birth").toVector
-    fills = geoOk("per:city_of_death", "per:stateorprovince_of_death",
-      "per:country_of_death").toVector
-    fills = geoOk("org:city_of_headquarters",
-      "org:stateorprovince_of_headquarters",
-      "org:country_of_headquarters").toVector
-
-    // X12: state fill implies country agreement (the state->country half
-    // of WorldKnowledgePostProcessor's consistency matrix)
-    def stateCountryOk(statePred: String, countryPred: String): Seq[SlotFill] =
-      fills.find(_.pred == statePred)
-        .flatMap(sf => stateCountry.get(sf.obj)) match {
-        case Some(co) =>
-          fills.filterNot(f => f.pred == countryPred && f.obj != co)
-        case None => fills
-      }
-    fills = stateCountryOk("per:stateorprovince_of_birth",
-      "per:country_of_birth").toVector
-    fills = stateCountryOk("per:stateorprovince_of_death",
-      "per:country_of_death").toVector
-    fills = stateCountryOk("org:stateorprovince_of_headquarters",
-      "org:country_of_headquarters").toVector
+    // X12 pairwise geo containment (WorldKnowledgePostProcessor.java:
+    // 474-520 pairwiseKeepLowerScoringFill + :344-349 consistentGeography):
+    // within each geo family (birth / death / residence / headquarters),
+    // fills are processed in fillOrdering (score) order; a fill whose
+    // city-region / city-country / region-country containment CONTRADICTS
+    // any higher-ranked kept fill of its family dies — the reference kills
+    // the lower-scoring side of an inconsistent pair. The scan per family
+    // is capped like X14's (hot residence lists stay linear). Gazetteer
+    // misses pass (fail-open — see WorldKnowledge scaladoc).
+    fills = geoPairwise(fills)
 
     fills
+  }
+
+  /** (family index, role) per geo pred; roles: 0=city, 1=region, 2=country. */
+  private val geoFamilies: Seq[(String, String, String)] = Seq(
+    ("per:city_of_birth", "per:stateorprovince_of_birth",
+      "per:country_of_birth"),
+    ("per:city_of_death", "per:stateorprovince_of_death",
+      "per:country_of_death"),
+    ("per:cities_of_residence", "per:stateorprovinces_of_residence",
+      "per:countries_of_residence"),
+    ("org:city_of_headquarters", "org:stateorprovince_of_headquarters",
+      "org:country_of_headquarters"))
+  private val geoRole: Map[String, (Int, Int)] =
+    geoFamilies.zipWithIndex.flatMap { case ((c, s, y), i) =>
+      Seq(c -> (i, 0), s -> (i, 1), y -> (i, 2))
+    }.toMap
+
+  private def geoConsistentPair(roleA: Int, a: String,
+                                roleB: Int, b: String): Boolean =
+    (roleA, roleB) match {
+      case (0, 1) => geo.consistentCityRegion(a, b)
+      case (1, 0) => geo.consistentCityRegion(b, a)
+      case (0, 2) => geo.consistentCityCountry(a, b)
+      case (2, 0) => geo.consistentCityCountry(b, a)
+      case (1, 2) => geo.consistentRegionCountry(a, b)
+      case (2, 1) => geo.consistentRegionCountry(b, a)
+      case _ => true // same role: duplicates are X13/X14's job
+    }
+
+  private def geoPairwise(fills: Seq[SlotFill]): Seq[SlotFill] = {
+    val kept = scala.collection.mutable.HashMap[Int,
+      scala.collection.mutable.ArrayBuffer[(Int, String)]]()
+    fills.filter { f =>
+      geoRole.get(f.pred) match {
+        case None => true
+        case Some((fam, role)) =>
+          val others = kept.getOrElseUpdate(fam,
+            scala.collection.mutable.ArrayBuffer[(Int, String)]())
+          val ok = others.iterator.take(MaxApproxScan).forall {
+            case (r2, v2) => geoConsistentPair(role, f.obj, r2, v2)
+          }
+          if (ok) others += ((role, f.obj))
+          ok
+      }
+    }
   }
 
   /** EntityLinker.sameEntity-lite for slot values

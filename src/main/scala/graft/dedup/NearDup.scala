@@ -59,10 +59,18 @@ object NearDup {
       nVectors.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
   /** Embedding-cosine near-dup: sign-random-projection LSH bucket join,
-   *  exact cosine inside buckets only. Pass bits = autoBits(n) at scale. */
+   *  exact cosine inside buckets only. Pass bits = autoBits(n) at scale.
+   *  Buckets are CAPPED at `maxBucket` members (vec_id order) before the
+   *  self-join — mirroring Linker.MaxBlock / SimHash.MaxBand — so a
+   *  degenerate bucket (e.g. the all-zeros bucket of zero/constant vectors)
+   *  is a bounded task, never an unbounded quadratic join. Default is far
+   *  above autoBits' target bucket size (64), so the cap only engages on
+   *  pathological skew. */
   def embeddingCosine(spark: SparkSession, emb: DataFrame,
-                      threshold: Double = 0.95, bits: Int = 12): DataFrame = {
+                      threshold: Double = 0.95, bits: Int = 12,
+                      maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val bucketBits = (0 until bits).map { j =>
       val proj = expr(
         s"""aggregate(zip_with(embedding, sequence(0, size(embedding)-1),
@@ -70,7 +78,11 @@ object NearDup {
             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    val b = emb.withColumn("bucket", bucketBits).persist()
+    val w = Window.partitionBy($"bucket").orderBy($"vec_id")
+    val b = emb.withColumn("bucket", bucketBits)
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" <= maxBucket).drop("_rn")
+      .persist()
     val dot = expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     def norm(side: String) = expr(
       s"sqrt(aggregate($side.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")

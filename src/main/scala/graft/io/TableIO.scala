@@ -62,4 +62,30 @@ final class TableIO(val root: String, spark: SparkSession) {
   def stage(table: String, partitionBy: Seq[String] = Nil)
            (compute: => DataFrame): DataFrame =
     read(table).getOrElse(write(table, compute, partitionBy))
+
+  /** Pipeline-version guard: stage snapshots are only resumable by the
+   *  pipeline layout that wrote them (e.g. whether fills_linked is pre- or
+   *  post-symmetric-expansion changes what a resumed stage MEANS, not just
+   *  its bytes). A run dir carries a `_pipeline_version` marker; resuming
+   *  with a different version — or resuming a pre-versioning dir — is
+   *  refused instead of silently producing wrong triples. */
+  def ensureVersion(version: String): Unit = {
+    val rootDir = Paths.get(root)
+    val vf = rootDir.resolve("_pipeline_version")
+    if (Files.exists(vf)) {
+      val v = new String(Files.readAllBytes(vf), "UTF-8").trim
+      require(v == version,
+        s"run dir $root was written by pipeline version '$v' but this " +
+          s"build is '$version'; resuming would mix incompatible stage " +
+          "snapshots — use a fresh run dir")
+    } else {
+      val hasTables = Option(rootDir.toFile.list()).getOrElse(Array.empty)
+        .exists(n => !n.startsWith("_"))
+      require(!hasTables,
+        s"run dir $root has snapshots but no _pipeline_version marker " +
+          "(pre-versioning layout); refusing to resume — use a fresh run dir")
+      Files.createDirectories(rootDir)
+      Files.write(vf, version.getBytes("UTF-8"))
+    }
+  }
 }

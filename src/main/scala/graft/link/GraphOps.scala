@@ -31,6 +31,7 @@ object GraphOps {
     val base = edges.filter($"pred".isin(preds.toSeq: _*))
       .select($"subj", $"pred", $"obj", $"score").distinct()
     var acc = base
+    var accCount = -1L // lazily known; only needed for convergence deltas
     var frontier = base
     var d = 1
     while (d < depth) {
@@ -42,14 +43,26 @@ object GraphOps {
           $"b.obj".as("obj"), ($"a.score" * $"b.score").as("score"))
         .distinct()
       val fresh = next.join(acc.select($"subj", $"pred", $"obj"),
-        Seq("subj", "pred", "obj"), "left_anti")
+        Seq("subj", "pred", "obj"), "left_anti").persist()
       val prev = acc
+      if (accCount < 0) accCount = prev.count() // materialize round-1 acc
       acc = acc.unionByName(fresh).persist()
-      // one action decides convergence AND materializes the new acc; the
-      // superseded round's cache is dropped immediately
-      val grew = !fresh.isEmpty
-      if (d > 1) prev.unpersist()
-      if (!grew) d = depth else { frontier = fresh; d += 1 }
+      // ONE action on the NEW acc both materializes its cache AND decides
+      // convergence (newCount > accCount <=> fresh was non-empty, since
+      // fresh is anti-joined against acc). Materializing acc BEFORE
+      // unpersisting prev is what keeps later rounds from recomputing the
+      // whole accumulated lineage from base (mirrors RuleInference.infer's
+      // count-then-unpersist order). fresh stays persisted because it is
+      // the next round's frontier.
+      val newCount = acc.count()
+      val grew = newCount > accCount
+      accCount = newCount
+      prev.unpersist()
+      // the old frontier (last round's fresh) was consumed by this round's
+      // join, which newCount just materialized — safe to release now
+      if (frontier ne base) frontier.unpersist()
+      if (!grew) { fresh.unpersist(); d = depth }
+      else { frontier = fresh; d += 1 }
     }
     acc
   }

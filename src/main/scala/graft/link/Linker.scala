@@ -184,19 +184,41 @@ object Linker {
     }
   }
 
+  /** Last run's alias-dictionary size (driver-side telemetry for the
+   *  metrics table's link-resolution rate; set by buildAliasMap /
+   *  canonicalize). */
+  @volatile var lastAliasCount: Long = 0L
+  /** Raw alias-pair count of the last run (telemetry). */
+  @volatile var lastPairCount: Long = 0L
+  /** Whether the last run took the distributed (connected-components)
+   *  linking path instead of the driver union-find (telemetry). */
+  @volatile var lastDistributed: Boolean = false
+
+  /** Alias-pair count above which canonicalize abandons the driver
+   *  union-find + broadcast rewrite for distributed connected components +
+   *  a shuffle-join rewrite. At 100-TB entity universes the NON-IDENTITY
+   *  pair set itself grows with the corpus (10^8+ rows): both the driver
+   *  collect and the executor-side broadcast hash map become memory
+   *  ceilings, so the path must be size-adaptive, not fixed. var so specs
+   *  can force the distributed path on small fixtures. */
+  @volatile var MaxDriverAliasPairs: Long = 1000000L
+
   /** name -> canonical name, exact transitive fixpoint via union-find over
    *  the collected alias pairs; representative per component = maximal
    *  surface form (order-independent, so deterministic under any
-   *  partitioning of the collect). */
-  /** Last run's alias-dictionary size (driver-side telemetry for the
-   *  metrics table's link-resolution rate; set by buildAliasMap). */
-  @volatile var lastAliasCount: Long = 0L
-
+   *  partitioning of the collect). Driver-side path — canonicalize only
+   *  calls this when the pair count is broadcast-safe. */
   def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
       : Map[String, String] = {
     val pairs = aliasPairs(spark, fills).collect()
     lastAliasCount = 0L
     if (pairs.isEmpty) return Map.empty
+    driverAliasMap(pairs)
+  }
+
+  /** Union-find fold over an in-memory pair set (exact fixpoint). */
+  private def driverAliasMap(pairs: Array[(String, String)])
+      : Map[String, String] = {
     val parent = scala.collection.mutable.HashMap[String, String]()
     def find(x: String): String = {
       var r = x
@@ -226,8 +248,15 @@ object Linker {
     out
   }
 
-  /** Rewrite subj/obj to canonical representatives via a broadcast join of
-   *  the alias dictionary (tiny by construction: non-identity aliases only). */
+  /** Rewrite subj/obj to canonical representatives. SIZE-ADAPTIVE
+   *  (north_star: "broadcast-joined alias dictionaries" for the common
+   *  case; GraphConsistencyPostProcessors.java:51-129 semantics at any
+   *  size): when the alias-pair set is broadcast-safe
+   *  (<= MaxDriverAliasPairs) the exact transitive fixpoint is folded on
+   *  the driver and the rewrite joins are broadcast; above it, components
+   *  come from GraphOps.connectedComponents over the pair table (min-label
+   *  propagation reaches the same fixpoint) and the rewrite is a shuffle
+   *  join — no driver or single-executor memory ceiling. */
   def canonicalize(spark: SparkSession, fillsIn: Dataset[SlotFill])
       : Dataset[SlotFill] = {
     import spark.implicits._
@@ -236,18 +265,55 @@ object Linker {
     // that loop the pipeline (Bench scaling loop, stream compaction) clear
     // the cache between runs (spark.sharedState.cacheManager).
     val fills = fillsIn.persist()
-    val aliasMap = buildAliasMap(spark, fills)
+    // pairs are consumed twice on the driver path (count + collect) and
+    // twice on the distributed path (CC + count) — persist, drop after
+    val pairsDs = aliasPairs(spark, fills).persist()
+    val nPairs = pairsDs.count()
+    lastPairCount = nPairs
+    lastDistributed = nPairs > MaxDriverAliasPairs
     // nothing to rewrite: skip the joins (the common case on a corpus whose
     // mentions were already coref-normalized upstream)
-    if (aliasMap.isEmpty) return fills
-    val aliases = spark.createDataset(aliasMap.toSeq.sortBy(_._1))
-      .toDF("name", "canon")
+    if (nPairs == 0L) {
+      pairsDs.unpersist()
+      lastAliasCount = 0L
+      return fills
+    }
+    val aliases: org.apache.spark.sql.DataFrame =
+      if (!lastDistributed) {
+        val aliasMap = driverAliasMap(pairsDs.collect())
+        pairsDs.unpersist()
+        lastAliasCount = aliasMap.size.toLong
+        if (aliasMap.isEmpty) return fills
+        spark.createDataset(aliasMap.toSeq.sortBy(_._1))
+          .toDF("name", "canon")
+      } else {
+        // distributed fixpoint: CC over the (undirected) pair graph, then
+        // component representative = maximal surface form — the same
+        // min-under-repOrdering choice as the driver fold, expressed as
+        // min(struct(-length, name)) so it is a plain hash aggregate
+        val comps = GraphOps.connectedComponents(spark,
+          pairsDs.toDF("src", "dst"))
+        val rep = comps.groupBy($"comp")
+          .agg(min(struct((-length($"v")).as("nl"), $"v".as("n")))
+            .getField("n").as("canon"))
+        val al = comps.join(rep, Seq("comp"))
+          .filter($"v" =!= $"canon")
+          .select($"v".as("name"), $"canon")
+          .persist()
+        lastAliasCount = al.count()
+        pairsDs.unpersist()
+        al
+      }
+    // broadcast hint only on the driver path; the distributed path's alias
+    // table can exceed executor memory, so those joins must stay shuffled
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      if (lastDistributed) df else broadcast(df)
     val f = fills.toDF()
-    val withSubj = f.join(broadcast(aliases).withColumnRenamed("name", "subj")
-        .withColumnRenamed("canon", "subj_canon"), Seq("subj"), "left")
-    val withObj = withSubj.join(broadcast(aliases)
+    val withSubj = f.join(hinted(aliases.withColumnRenamed("name", "subj")
+        .withColumnRenamed("canon", "subj_canon")), Seq("subj"), "left")
+    val withObj = withSubj.join(hinted(aliases
         .withColumnRenamed("name", "obj")
-        .withColumnRenamed("canon", "obj_canon"), Seq("obj"), "left")
+        .withColumnRenamed("canon", "obj_canon")), Seq("obj"), "left")
     withObj.select(
       coalesce($"subj_canon", $"subj").as("subj"),
       $"subj_type",

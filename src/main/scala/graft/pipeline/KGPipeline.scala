@@ -33,6 +33,11 @@ import graft.io.TableIO
  */
 object KGPipeline {
 
+  /** Bumped whenever a snapshot table's MEANING changes (not just its
+   *  schema): v2 = fills_linked is linked+symmetric, PRE-consistency.
+   *  TableIO.ensureVersion refuses to resume a mismatched run dir. */
+  val PipelineVersion = "v2"
+
   /** Stage 1: NLP annotate (tokenize/ssplit/pos/ner/coref), early gates
    *  inside the partition (lang + length — Catalyst can't invent these). */
   def sentences(spark: SparkSession, pages: Dataset[Page]): Dataset[Sentence] = {
@@ -76,6 +81,24 @@ object KGPipeline {
       .as[SlotFill]
   }
 
+  /** Stage 5y: the reference's DEFAULT output mode `y_then_noisy_or`
+   *  (Props.java:332-337; JointBayesRelationExtractor.java:1989-2110):
+   *  after the per-bag noisy-or merge, a bag survives only if its merged
+   *  score crosses the relation's y threshold — the FROZEN per-relation
+   *  threshold when the trained model is shipped (capped at 1.0 so a
+   *  rules-only relation, frozen threshold 2.0, still passes its 1.0 rule
+   *  hits), 0.5 otherwise (the jointbayes default). Row-local filter — no
+   *  exchange. */
+  def yThenNoisyOrGate(spark: SparkSession, bags: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import spark.implicits._
+    val thrMap: Map[String, Double] = graft.extract.Scorer.frozen
+      .map { case (r, m) => r -> math.min(m.threshold, 1.0) }
+    val thrCol =
+      if (thrMap.isEmpty) lit(0.5)
+      else coalesce(element_at(typedLit(thrMap), $"pred"), lit(0.5))
+    bags.toDF().filter($"score" >= thrCol).as[SlotFill]
+  }
+
   /** Stage 5b standalone (the pipeline fuses this into mentionFills):
    *  unary consistency (X1-X12 per-fill checks), row-local. */
   def unary(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
@@ -87,12 +110,63 @@ object KGPipeline {
   def linked(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] =
     Linker.canonicalize(spark, fills)
 
+  /** Deterministic keep-best order for exact (pred, obj) duplicates —
+   *  the same argmax X13 would take (score first), with types + provenance
+   *  as total tiebreaks so the survivor never depends on shuffle-arrival
+   *  order. */
+  private val dupOrdering: Ordering[SlotFill] =
+    Ordering.by { f: SlotFill =>
+      ((f.score, f.subj_type, f.obj_type),
+        (f.prov.doc_id, f.prov.url, f.prov.sent_idx, f.prov.ent_b,
+          f.prov.ent_e, f.prov.slot_b, f.prov.slot_e))
+    }
+
+  /** Streaming per-subject grouping over a subj-partitioned,
+   *  (subj, pred, obj)-sorted iterator, with exact-duplicate PRE-MERGE:
+   *  consecutive rows sharing (pred, obj) collapse to the dupOrdering-max
+   *  row on the fly, so the per-subject buffer holds only DISTINCT
+   *  (pred, obj) fills. This bounds the heap of a hot canonical subject
+   *  carrying 10^6 exact-duplicate fills (post-linking alias pile-up) to
+   *  its distinct-fill count — the collapse is exactly the X13 argmax, so
+   *  downstream semantics are unchanged (VERDICT r2 #3). */
+  private def subjectGroups(it: Iterator[SlotFill]): Iterator[Seq[SlotFill]] = {
+    val buf = it.buffered
+    new Iterator[Seq[SlotFill]] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): Seq[SlotFill] = {
+        var cur = buf.next()
+        val subj = cur.subj
+        val out = Vector.newBuilder[SlotFill]
+        while (buf.hasNext && buf.head.subj == subj) {
+          val f = buf.next()
+          if (f.pred == cur.pred && f.obj == cur.obj) {
+            if (dupOrdering.gt(f, cur)) cur = f
+          } else { out += cur; cur = f }
+        }
+        out += cur
+        out.result()
+      }
+    }
+  }
+
+  /** The ONE consistency shuffle: hash-partition on the canonical subject,
+   *  sort within partitions so each subject's rows (and each (pred, obj)
+   *  run inside them) are contiguous — same exchange count as groupByKey,
+   *  but streaming-mergeable. */
+  private def bySubject(fills: Dataset[SlotFill]): Dataset[SlotFill] = {
+    import fills.sparkSession.implicits._
+    fills.toDF()
+      .repartition($"subj")
+      .sortWithinPartitions($"subj", $"pred", $"obj")
+      .as[SlotFill]
+  }
+
   /** Stage 7: per-entity global consistency (X13-X18), grouped by CANONICAL
    *  subject (post-linking — InferentialSlotFiller.java:122-165 order). */
   def consistent(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
     import spark.implicits._
-    fills.groupByKey(_.subj)
-      .flatMapGroups((_, it) => Consistency.entityPass(it.toSeq))
+    bySubject(fills).mapPartitions(it =>
+      subjectGroups(it).flatMap(g => Consistency.entityPass(g)))
   }
 
   /** Fused stages 7+8: ONE shuffle on the canonical subject carries both
@@ -102,8 +176,8 @@ object KGPipeline {
    *  run group-locally; the separate triple-merge exchange disappears. */
   def consistentTriples(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[Triple] = {
     import spark.implicits._
-    fills.groupByKey(_.subj).flatMapGroups { (_, it) =>
-      val kept = Consistency.entityPass(it.toSeq)
+    bySubject(fills).mapPartitions(it => subjectGroups(it).flatMap { group =>
+      val kept = Consistency.entityPass(group)
       // official rename + per-key noisy-or merge (deterministic: scores
       // sorted before the log-domain sum, result rounded like
       // aggregateBags; provenance = lexicographic argmax)
@@ -121,13 +195,13 @@ object KGPipeline {
           case None => acc(k) = (List(f.score), sp)
         }
       }
-      val subj = kept.headOption.map(_.subj).getOrElse("")
+      val subj = group.headOption.map(_.subj).getOrElse("")
       acc.iterator.map { case ((st, pred, obj, ot), (scores, (_, prov))) =>
         val merged = noisyOr(scores)
         Triple(subj, entityId(subj, st), st, pred, obj, entityId(obj, ot),
           ot, merged, prov.doc_id, prov.url, prov.sent_idx)
       }
-    }
+    })
   }
 
   /** Scala twin of the SQL merge: 1 - prod(1-s) in the log domain, terms
@@ -207,6 +281,8 @@ object KGPipeline {
           io: Option[TableIO] = None,
           runId: String = "run-0"): Dataset[Triple] = {
     import spark.implicits._
+    // refuse to resume snapshots written by an incompatible pipeline layout
+    io.foreach(_.ensureVersion(PipelineVersion))
     val metrics = Seq.newBuilder[(String, String, Long, Long)]
     def ckpt[T](table: String, ds: => Dataset[T], parts: Seq[String] = Nil)
                (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
@@ -229,7 +305,12 @@ object KGPipeline {
     val sents = ckpt("sentences", sentences(spark, pages))
     // mentionFills includes the fused row-local unary pass (X1-X12)
     val raw = ckpt("fills_raw", mentionFills(spark, sents))
-    val bags = ckpt("fills_merged", aggregateBags(spark, raw))
+    // bag agg runs in the reference's default output mode: noisy-or merge,
+    // then the per-relation y-threshold gate (y_then_noisy_or)
+    val bags = ckpt("fills_merged",
+      yThenNoisyOrGate(spark, aggregateBags(spark, raw)))
+    if (io.isDefined)
+      metrics += ((runId, "bag_mode_y_then_noisy_or", 1L, 0L))
     // linking + symmetric expansion land together in fills_linked; the
     // global X13-X18 pass runs on CANONICAL subjects (reference order:
     // merge -> symmetric -> pass 2)
@@ -238,9 +319,16 @@ object KGPipeline {
       symmetricExpand(spark, linked(spark, bags)))
     // link-resolution telemetry (north_star metric): how many surface
     // names the alias dictionary rewrote this run (-1 = stage resumed
-    // from its snapshot, nothing recomputed)
-    if (io.isDefined && Linker.lastAliasCount >= 0L)
+    // from its snapshot, nothing recomputed), the raw pair count, the
+    // driver/distributed threshold, and which path ran (VERDICT r2 #2)
+    if (io.isDefined && Linker.lastAliasCount >= 0L) {
       metrics += ((runId, "link_aliases", Linker.lastAliasCount, 0L))
+      metrics += ((runId, "link_alias_pairs", Linker.lastPairCount, 0L))
+      metrics += ((runId, "link_driver_pair_threshold",
+        Linker.MaxDriverAliasPairs, 0L))
+      metrics += ((runId, "link_path_distributed",
+        if (Linker.lastDistributed) 1L else 0L, 0L))
+    }
     // stages 7+8 fused: one shuffle carries consistency AND the triple
     // materialize (consistentTriples) — the triples table remains the
     // resumable snapshot

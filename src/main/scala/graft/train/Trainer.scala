@@ -85,7 +85,15 @@ object Trainer {
   def thresholdFeatures(spark: SparkSession, labeled: DataFrame,
                         minCount: Int = FeatureCountThreshold): DataFrame = {
     import spark.implicits._
+    // localCheckpoint PINS the generated ids: exploded and the final join
+    // are two subtrees of this plan, and monotonically_increasing_id is
+    // partition-dependent — if AQE or a recompute repartitioned one side,
+    // feature vectors would silently reattach to the wrong training rows.
+    // Checkpointing materializes the ids once so both sides read the same
+    // rows (cheaper than persist-and-hope: persist can be evicted, a
+    // checkpoint cannot).
     val withId = labeled.withColumn("_fid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val exploded = withId.select($"_fid", explode($"features").as("f"))
     val keep = exploded.groupBy($"f").agg(count(lit(1)).as("n"))
       .filter($"n" >= minCount).select($"f")

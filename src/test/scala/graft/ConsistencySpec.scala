@@ -125,16 +125,73 @@ class ConsistencySpec extends AnyFunSuite {
       f("A", "per:country_of_birth", "United States", 1.0,
         objType = NER.COUNTRY)))
     assert(ok.size == 2)
-    val bad = Consistency.entityPass(Seq(
-      f("A", "per:stateorprovince_of_birth", "Texas", 1.0,
+    // reference semantics (pairwiseKeepLowerScoringFill): the LOWER-scoring
+    // side of an inconsistent region/country pair dies — state-in-wrong-
+    // country killed when the country outranks it...
+    val stateDies = Consistency.entityPass(Seq(
+      f("A", "per:country_of_birth", "France", 0.9, objType = NER.COUNTRY),
+      f("A", "per:stateorprovince_of_birth", "Texas", 0.8,
+        objType = NER.STATE_OR_PROVINCE)))
+    assert(stateDies.map(_.pred) == Seq("per:country_of_birth"))
+    // ...and the wrong country dies when the state outranks it
+    val countryDies = Consistency.entityPass(Seq(
+      f("A", "per:stateorprovince_of_birth", "Texas", 0.9,
         objType = NER.STATE_OR_PROVINCE),
-      f("A", "per:country_of_birth", "France", 1.0,
-        objType = NER.COUNTRY)))
-    assert(bad.map(_.pred) == Seq("per:stateorprovince_of_birth"))
+      f("A", "per:country_of_birth", "France", 0.8, objType = NER.COUNTRY)))
+    assert(countryDies.map(_.pred) == Seq("per:stateorprovince_of_birth"))
     // canonical rename: U.S. -> United States (unary)
     val r = Consistency.unaryOne(f("A", "per:country_of_birth", "U.S.",
       objType = NER.COUNTRY)).get
     assert(r.obj == "United States")
+  }
+
+  test("X12 region-code canonical rename + city abbreviation rename") {
+    val ca = Consistency.unaryOne(f("A", "per:stateorprovince_of_birth",
+      "CA", objType = NER.STATE_OR_PROVINCE)).get
+    assert(ca.obj == "California")
+    val on = Consistency.unaryOne(f("A", "per:stateorprovince_of_birth",
+      "ON", objType = NER.STATE_OR_PROVINCE)).get
+    assert(on.obj == "Ontario")
+    // an already-canonical region is untouched
+    val tx = Consistency.unaryOne(f("A", "per:stateorprovince_of_birth",
+      "Texas", objType = NER.STATE_OR_PROVINCE)).get
+    assert(tx.obj == "Texas")
+    val nyc = Consistency.unaryOne(
+      f("A", "per:cities_of_residence", "NYC")).get
+    assert(nyc.obj == "New York")
+    // alternate country names beyond the flat alias map
+    val gb = Consistency.unaryOne(f("A", "per:country_of_birth",
+      "Great Britain", objType = NER.COUNTRY)).get
+    assert(gb.obj == "United Kingdom")
+  }
+
+  test("X12 containment hierarchy: ambiguous city names fail open, wrong pairs die") {
+    import graft.consistency.WorldKnowledge
+    val wk = WorldKnowledge.default
+    // Cambridge exists in England AND Massachusetts: both containments hold
+    assert(wk.consistentCityRegion("Cambridge", "England"))
+    assert(wk.consistentCityRegion("Cambridge", "Massachusetts"))
+    assert(wk.consistentCityCountry("Cambridge", "United Kingdom"))
+    assert(wk.consistentCityCountry("Cambridge", "United States"))
+    assert(!wk.consistentCityRegion("Cambridge", "Texas"))
+    // population-weighted primary region picks the bigger Cambridge
+    assert(wk.regionForCity("Cambridge").contains("England"))
+    // unknown city: checks pass (fail-open — recall-safe at web scale)
+    assert(wk.consistentCityRegion("Nowhereville", "Texas"))
+    // region-country containment through the hierarchy
+    assert(wk.consistentRegionCountry("Ontario", "Canada"))
+    assert(!wk.consistentRegionCountry("Ontario", "France"))
+    assert(wk.countryForRegion("Ontario").contains("Canada"))
+    assert(wk.countryForCity("Toronto").contains("Canada"))
+    // entityPass: city of residence + hq-family untouched; wrong-state
+    // residence fill dies against the higher-ranked city
+    val out = Consistency.entityPass(Seq(
+      f("A", "per:cities_of_residence", "Toronto", 0.9),
+      f("A", "per:stateorprovinces_of_residence", "Texas", 0.8,
+        objType = NER.STATE_OR_PROVINCE),
+      f("A", "per:stateorprovinces_of_residence", "Ontario", 0.7,
+        objType = NER.STATE_OR_PROVINCE)))
+    assert(out.map(_.obj) == Seq("Toronto", "Ontario"))
   }
 
   test("X5 invalid-title stop-set kills generic titles") {
