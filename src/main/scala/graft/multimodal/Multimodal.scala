@@ -7,24 +7,71 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: opaque BINARY media + typed metadata, with a
  * batched per-partition decode/feature-extract stage.
  *
- * The decode step is a clearly-marked deterministic STUB (no image/audio
- * libs in this container): it derives a 16-dim byte-histogram "feature
- * vector" from the binary payload. The Spark-side plumbing — schema,
- * partition batching, feature shape — is real: swap `decodeStub` for a
- * JNI/ONNX decoder on a real cluster and nothing else changes. (The PySpark
- * equivalent would be a Pandas UDF over mapInPandas; in Scala the idiomatic
- * batched form is mapPartitions over the typed Dataset.)
+ * The decode step is REAL for images: `javax.imageio` ships with the JDK,
+ * so PNG/JPEG/GIF/BMP payloads decode to (width, height, per-channel
+ * means) with zero extra dependencies. Payloads no JDK reader understands
+ * (audio/video/truncated bytes) fall back to a deterministic 16-bin byte
+ * histogram, flagged `decoded = false` — the schema, partition batching
+ * and feature shape are identical either way, so swapping in a JNI/ONNX
+ * decoder for the non-image modalities changes nothing downstream. (The
+ * PySpark equivalent would be a Pandas UDF over mapInPandas; in Scala the
+ * idiomatic batched form is mapPartitions over the typed Dataset.)
  */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, media: Array[Byte],
                             mime: String, n_bytes: Int)
+  /** width/height are -1 when the payload wasn't a decodable image;
+   *  features = [meanR, meanG, meanB] ++ 16-bin byte histogram (19 dims,
+   *  channel means zero when undecoded). */
   final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
+                                 decoded: Boolean, width: Int, height: Int,
                                  features: Array[Float])
 
-  /** STUB decoder: byte histogram over 16 buckets, L1-normalized.
+  // ImageIO's default scratch-file cache would turn every decode into
+  // executor-local disk I/O; decode purely in memory
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real image decode: dimensions + per-channel RGB means. Pixels are
+   *  SUBSAMPLED on a bounded grid (<= 64x64 probes) so a 100-megapixel
+   *  payload costs the same as a thumbnail — feature quality, not fidelity,
+   *  is the point at corpus scale. None when no JDK reader accepts the
+   *  bytes. */
+  def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    imageIoInit
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val stepX = math.max(1, w / 64)
+          val stepY = math.max(1, h / 64)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+              n += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          Some((w, h, Array((r.toDouble / n).toFloat,
+            (g.toDouble / n).toFloat, (b.toDouble / n).toFloat)))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Fallback features: byte histogram over 16 buckets, L1-normalized.
    *  Deterministic function of the payload bytes only. */
-  def decodeStub(media: Array[Byte]): Array[Float] = {
+  def byteHistogram(media: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < media.length) { hist((media(i) & 0xFF) / 16) += 1f; i += 1 }
@@ -34,6 +81,15 @@ object Multimodal {
     hist
   }
 
+  def extractOne(r: MediaRow): MediaFeatures = decodeImage(r.media) match {
+    case Some((w, h, means)) =>
+      MediaFeatures(r.media_id, r.mime, r.n_bytes, decoded = true, w, h,
+        means ++ byteHistogram(r.media))
+    case None =>
+      MediaFeatures(r.media_id, r.mime, r.n_bytes, decoded = false, -1, -1,
+        Array(0f, 0f, 0f) ++ byteHistogram(r.media))
+  }
+
   /** Batched feature extraction: one decoder context per partition (the
    *  shape a real codec needs), rows streamed through it. */
   def extractFeatures(spark: SparkSession,
@@ -41,15 +97,18 @@ object Multimodal {
       : org.apache.spark.sql.Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize decoder/model once per partition here
-      it.map(r => MediaFeatures(r.media_id, r.mime, r.n_bytes,
-        decodeStub(r.media)))
+      // per-partition init point: ImageIO cache off once per JVM; a heavier
+      // codec/model would initialize here
+      imageIoInit
+      it.map(extractOne)
     }
   }
 
   /** Query for the driver harness: synthesize a binary column from the
-   *  documents table (md5 bytes as a stand-in payload), run the batched
-   *  extract, return features. */
+   *  documents table (md5 bytes as a stand-in payload — NOT a decodable
+   *  image, exercising the fallback path), run the batched extract, return
+   *  features. The decoded-image path is gated by ModulesSpec on real
+   *  generated PNGs. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -59,8 +118,8 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       lit(16).as("n_bytes")).as[MediaRow]
     extractFeatures(spark, media).toDF()
-      .select(col("media_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 5).as("f0"))
+      .select(col("media_id"), col("n_bytes"), col("decoded"),
+        round(element_at(col("features"), 4), 5).as("f0"))
       .orderBy("media_id")
   }
 }

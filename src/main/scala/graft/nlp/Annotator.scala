@@ -58,7 +58,9 @@ object Annotator {
           end = rt.end - sentBegin,
           pos = PosTagger.tag(rt.text),
           ner = t.ner(k),
-          antecedent = ante(k),
+          // TIMEX value is the canonical antecedent of a temporal token
+          // (PostIRAnnotator.annotateTimex, ir/PostIRAnnotator.java:691-700)
+          antecedent = if (t.timex(k).nonEmpty) t.timex(k) else ante(k),
           timex = t.timex(k))
       }
       Sentence(url, id, si, text.substring(sentBegin, raw(b - 1).end), toks)

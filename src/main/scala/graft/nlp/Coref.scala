@@ -75,11 +75,25 @@ object Coref {
     }
     // longest-then-lexicographic winner (deterministic)
     val repOrd: Ordering[String] = Ordering.by((s: String) => (-s.length, s))
-    def best(cands: Iterable[String]): Option[String] =
-      if (cands.isEmpty) None else Some(cands.min(repOrd))
     def containsTokens(small: Seq[String], large: Seq[String]): Boolean =
       small.length < large.length &&
         small.forall(s => large.exists(l => approxTokenMatch(s, l)))
+    /** Chain cleaning (PostIRAnnotator.java:584-650): dcoref never chains
+     *  a mention into two DIFFERENT entities, so when a surface matches
+     *  several pool mentions that are not partial forms of one another
+     *  (incomparable chains), it is AMBIGUOUS and stays unresolved — the
+     *  old longest-wins pick silently merged distinct entities ("Smith"
+     *  with both "John Smith" and "Anna Smith" in the document). */
+    def best(cands: Iterable[String]): Option[String] = {
+      val cs = cands.toVector.distinct
+      if (cs.isEmpty) None
+      else {
+        val maximal = cs.filterNot(c => cs.exists(o => o != c &&
+          containsTokens(c.split(" ").toSeq, o.split(" ").toSeq)))
+        if (maximal.length == 1) Some(maximal.head)
+        else None // >1 incomparable chains: ambiguous, leave unresolved
+      }
+    }
     def repPerson(surface: String): Option[String] = {
       val toks = surface.split(" ").toSeq
       if (toks.length == 1) {
@@ -91,14 +105,29 @@ object Coref {
       } else best(personPool.filter(p =>
         containsTokens(toks, p.split(" ").toSeq)))
     }
+    // legal boilerplate a longer form may add to the SAME organization;
+    // any other extra token means the container is a different entity
+    val legalSuffixes = Set("inc", "inc.", "corp", "corp.", "co", "co.",
+      "ltd", "ltd.", "llc", "corporation", "company")
     def repOrg(surface: String): Option[String] = {
       val toks = surface.split(" ").toSeq
       val viaAcronym =
         if (toks.length == 1 && surface.forall(c => !c.isLower))
           best(orgPool.filter(o => isAcronymOf(surface, o.split(" ").toSeq)))
         else None
-      viaAcronym.orElse(best(orgPool.filter(o =>
-        containsTokens(toks, o.split(" ").toSeq))))
+      // nested-mention cleaning (PostIRAnnotator.java:616-635 keeps the
+      // NARROW mention): a surface that already carries its own org head
+      // word ("Stanford University", "First National Bank") is a complete
+      // name — it only chains into a container whose extra tokens are
+      // legal-suffix boilerplate, never into a longer DIFFERENT org
+      // ("Stanford University Hospital Group")
+      val hasOrgHead = toks.exists(Gazetteers.orgSuffixes.contains)
+      viaAcronym.orElse(best(orgPool.filter { o =>
+        val oToks = o.split(" ").toSeq
+        containsTokens(toks, oToks) && (!hasOrgHead ||
+          oToks.filterNot(ot => toks.exists(t => approxTokenMatch(t, ot)))
+            .forall(ot => legalSuffixes.contains(ot.toLowerCase)))
+      }))
     }
 
     // ---- pass 2: rewrite

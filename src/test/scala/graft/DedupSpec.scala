@@ -41,6 +41,31 @@ class DedupSpec extends AnyFunSuite {
       SimHash.simhash64(Seq("a", "b", "c"))) == 0)
   }
 
+  test("degenerate band value: 1k identical docs complete under the bucket cap") {
+    // 1000 identical documents put every doc in the SAME value of every
+    // band — uncapped, each band join is a 10^6-pair quadratic task; the
+    // cap bounds it to maxBucket members per band (pairs only among them)
+    val clones = spark.range(1000)
+      .select($"id".as("doc_id"), lit("all the same words here").as("text"))
+    val t0 = System.nanoTime()
+    val pairs = SimHash.nearDupPairs(clones, maxDist = 3, maxBucket = 64)
+    val nPairs = pairs.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(nPairs == 64L * 63 / 2, s"expected capped pair set, got $nPairs")
+    assert(sec < 60.0, s"capped band join took $sec s")
+    // the cap audit reports what was dropped, per band
+    val stats = SimHash.cappedBandStats(clones, maxBucket = 64).collect()
+    assert(stats.length == 4)
+    assert(stats.forall(_.getAs[Long]("dropped") == 936L))
+    // embedding path: identical vectors land in one bucket; the cap keeps
+    // the join bounded and the surviving pairs are still above threshold
+    val emb = spark.range(100).select($"id".as("vec_id"),
+      array(lit(1.0f), lit(0.5f), lit(0.2f), lit(0.1f)).as("embedding"))
+    val cosPairs = NearDup.embeddingCosine(spark, emb, threshold = 0.99,
+      bits = 8, maxBucket = 16).count()
+    assert(cosPairs == 16L * 15 / 2)
+  }
+
   test("embedding cosine near-dup finds identical vectors via LSH buckets") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),

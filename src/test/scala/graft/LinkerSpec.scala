@@ -43,6 +43,37 @@ class LinkerSpec extends AnyFunSuite {
       s"hot block mis-linked: $alias")
   }
 
+  test("distributed CC path canonicalizes identically to driver union-find") {
+    // force the connected-components + shuffle-join path by dropping the
+    // broadcast-safe threshold to zero, and check the rewrite matches the
+    // driver path exactly (same components, same maximal-surface reps)
+    import spark.implicits._
+    def orgFill(subj: String) = graft.model.SlotFill(subj,
+      NER.ORGANIZATION, "org:founded", "1990-XX-XX", "DATE", 0.9, prov)
+    val fills = Seq(orgFill("GDC"), orgFill("Global Dynamics Corp"),
+      orgFill("Global Dynamics"), orgFill("Acme Inc"), orgFill("Acme")).toDS()
+    def run(): Seq[(String, Boolean)] = {
+      val out = Linker.canonicalize(spark, fills)
+        .collect().map(_.subj).sorted.toSeq
+      val path = Linker.lastDistributed
+      spark.sharedState.cacheManager.clearCache()
+      out.map(s => (s, path))
+    }
+    val viaDriver = run()
+    assert(!viaDriver.head._2, "expected the driver path by default")
+    val saved = Linker.MaxDriverAliasPairs
+    try {
+      Linker.MaxDriverAliasPairs = 0L
+      val viaCC = run()
+      assert(viaCC.head._2, "expected the distributed path under threshold 0")
+      assert(viaCC.map(_._1) == viaDriver.map(_._1),
+        s"paths disagree: ${viaCC.map(_._1)} vs ${viaDriver.map(_._1)}")
+      assert(viaCC.map(_._1) ==
+        Seq("Acme Inc", "Acme Inc", "Global Dynamics Corp",
+          "Global Dynamics Corp", "Global Dynamics Corp"))
+    } finally Linker.MaxDriverAliasPairs = saved
+  }
+
   test("union-find reaches the transitive fixpoint across blocks") {
     // GDC -(acronym block)-> Global Dynamics Corp -(normalized block)->
     // Global Dynamics: all three must collapse to ONE maximal-surface rep

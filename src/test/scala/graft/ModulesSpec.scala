@@ -13,6 +13,34 @@ class ModulesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("multimodal: real PNG decodes to dimensions + channel means; fallback flagged") {
+    import graft.multimodal.Multimodal
+    // synthesize a real 8x4 PNG: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png, "image/png", png.length),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4),
+        "application/octet-stream", 4))
+    val out = Multimodal.extractFeatures(spark, rows.toDS())
+      .collect().sortBy(_.media_id)
+    val ok = out(0)
+    assert(ok.decoded && ok.width == 8 && ok.height == 4)
+    // half red + half blue: meanR == meanB == 127.5, meanG == 0
+    assert(math.abs(ok.features(0) - 127.5f) < 0.51f)
+    assert(ok.features(1) == 0f)
+    assert(math.abs(ok.features(2) - 127.5f) < 0.51f)
+    assert(ok.features.length == 19)
+    val fb = out(1)
+    assert(!fb.decoded && fb.width == -1 && fb.features.length == 19)
+    assert(math.abs(fb.features.drop(3).sum - 1.0f) < 1e-5) // histogram L1
+  }
+
   test("Evaluate.prf computes P/R/F1") {
     val got = Seq(("A", "p", "x"), ("A", "p", "y"), ("B", "q", "z"))
       .toDF("subj", "pred", "obj")

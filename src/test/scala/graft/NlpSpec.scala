@@ -86,6 +86,48 @@ class NlpSpec extends AnyFunSuite {
     assert(a2(1)(0) == "Robert James Keller")
   }
 
+  test("coref chain cleaning: ambiguous + nested mentions stay unresolved") {
+    // two distinct people share a surname: "Smith" must NOT be chained
+    // into either (dcoref-style cleaning; the old longest-wins pick merged
+    // distinct entities)
+    val s1 = (Vector("John", "Smith", "and", "Anna", "Smith", "spoke", "."),
+      Array(NER.PERSON, NER.PERSON, "O", NER.PERSON, NER.PERSON, "O", "O"))
+    val s2 = (Vector("Smith", "agreed", "."),
+      Array(NER.PERSON, "O", "O"))
+    val ante = Coref.resolve(IndexedSeq(s1, s2))
+    assert(ante(1)(0) == "", s"ambiguous surname resolved to ${ante(1)(0)}")
+    // nested org names: an org that carries its own head word is a complete
+    // name and must not chain into a longer DIFFERENT org...
+    val o1 = (Vector("Stanford", "University", "Hospital", "Group",
+      "expanded", "."),
+      Array(NER.ORGANIZATION, NER.ORGANIZATION, NER.ORGANIZATION,
+        NER.ORGANIZATION, "O", "O"))
+    val o2 = (Vector("Stanford", "University", "teaches", "."),
+      Array(NER.ORGANIZATION, NER.ORGANIZATION, "O", "O"))
+    val a2 = Coref.resolve(IndexedSeq(o1, o2))
+    assert(a2(1)(0) == "", s"nested org resolved to ${a2(1)(0)}")
+    // ...but legal-suffix boilerplate still chains (same entity)
+    val o3 = (Vector("First", "National", "Bank", "Corp.", "reported", "."),
+      Array(NER.ORGANIZATION, NER.ORGANIZATION, NER.ORGANIZATION,
+        NER.ORGANIZATION, "O", "O"))
+    val o4 = (Vector("First", "National", "Bank", "grew", "."),
+      Array(NER.ORGANIZATION, NER.ORGANIZATION, NER.ORGANIZATION, "O", "O"))
+    val a3 = Coref.resolve(IndexedSeq(o3, o4))
+    assert(a3(1)(0) == "First National Bank Corp.")
+  }
+
+  test("TIMEX value is the canonical antecedent of temporal tokens") {
+    val sents = Annotator.annotateText("https://x.example/timex",
+      "Maria Keller joined Global Dynamics Corp. on March 3, 1980. She left.")
+    val toks = sents.head.tokens
+    val dateTok = toks.find(_.timex.nonEmpty).get
+    assert(dateTok.antecedent == dateTok.timex)
+    assert(dateTok.timex == "1980-03-03")
+    // non-temporal antecedents unaffected (She -> Maria Keller)
+    val she = sents(1).tokens.find(_.word == "She").get
+    assert(she.antecedent == "Maria Keller")
+  }
+
   test("coref: pronoun, surname and acronym antecedents") {
     val s1 = (Vector("John", "Smith", "works", "at", "IBM", "."),
       Array(NER.PERSON, NER.PERSON, "O", "O", NER.ORGANIZATION, "O"))

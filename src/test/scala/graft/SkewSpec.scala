@@ -63,6 +63,29 @@ class SkewSpec extends AnyFunSuite {
     assert(us.map(_.subj).distinct.length == n / 3)
   }
 
+  test("10^6 exact-duplicate fills on one subject: streaming pre-merge, bounded heap") {
+    // post-linking alias pile-up shape: ONE canonical subject receives a
+    // million rows that are exact (pred, obj) duplicates differing only in
+    // score/provenance. The consistency shuffle must pre-merge duplicate
+    // runs while streaming (heap = distinct fills), not buffer the raw
+    // group; the surviving fill is the X13 argmax (max score).
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 1000000
+    val fills = spark.range(n).map { i =>
+      SlotFill("Dup Person", NER.PERSON, "per:title", "engineer", NER.TITLE,
+        0.3 + (i % 100) * 1e-6,
+        Provenance(s"d${i % 7}", "u", (i % 11).toInt, 0, 1, 2, 3))
+    }
+    val t0 = System.nanoTime()
+    val out = graft.pipeline.KGPipeline.consistentTriples(spark, fills).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 1)
+    assert(math.abs(out.head.score - (0.3 + 99 * 1e-6)) < 1e-9,
+      s"expected the max-score duplicate to survive, got ${out.head.score}")
+    assert(sec < 120.0, s"1M-duplicate subject took $sec s")
+  }
+
   test("hot subject flows through the distributed consistency stage") {
     val spark = SparkTestSession.spark
     import spark.implicits._
