@@ -1,0 +1,283 @@
+package graft.classify
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.IntMap
+
+/**
+ * C2 MIML-RE: the z/y latent-variable EM trainer of the reference's
+ * flagship model (classify/JointBayesRelationExtractor.java:432-745),
+ * re-expressed as iterative DataFrame jobs.
+ *
+ * Shape (MIML-RE, Surdeanu et al. EMNLP 2012):
+ *  - a BAG = one (entity, slot) pair with its sentence-level feature
+ *    vectors and distant-supervision labels Y (positive relations);
+ *  - z_i = latent per-sentence relation label (incl. _NR);
+ *  - z classifier = multinomial LR over hashed sentence features
+ *    (the reference's LinearClassifier, trained per fold — here ONE
+ *    spark.ml fit per epoch, data-parallel over the corpus);
+ *  - y classifiers = per-relation binary LR over bag-level features of
+ *    the z assignment: {atleast_once, proportion} (the reference's
+ *    y-feature set, Props train.jointbayes.yfeatures);
+ *  - E-step: per bag, a greedy conditional pass picks each z_i to
+ *    maximize log p(z_i|x_i) + log p(Y_bag | z with z_i substituted)
+ *    (inferZLabelsStable, :900-1000) — embarrassingly parallel per bag
+ *    (mapGroups), model weights broadcast with the closure;
+ *  - M-step: refit z on the inferred labels, refit each y on the
+ *    bag-level z-count features.
+ *
+ * Initialization is the reference's local model (every sentence of a
+ * positive bag takes the bag's first label — initializeZClassifierLocally,
+ * :747-800): `train(epochs = 0)` returns exactly that, so specs can show
+ * EM's improvement over local-only training. Default epochs follow the
+ * toy scale (2), not the reference's 8x3-fold production config.
+ */
+object MimlEm {
+
+  val NilLabel = "_NR"
+
+  /** One sentence (mention) of a bag: sparse string features. */
+  final case class MimlSentence(bag_id: Long, features: Seq[String])
+  /** Distant-supervision bag labels (empty = negative bag). */
+  final case class MimlBag(bag_id: Long, pos_labels: Seq[String])
+  /** Joined working row (public: Catalyst's generated deserializer needs a
+   *  publicly constructible class). */
+  final case class BagRow(bag_id: Long, pos_labels: Seq[String],
+                          sents: Seq[Seq[String]])
+
+  /** Frozen model: z = per-label hashed-LR (HashingTF murmur3 space of
+   *  `numFeatures` — defaults to extract.Scorer's shared 2^18),
+   *  y = per-relation (intercept, w_atleastonce, w_prop). */
+  final case class Model(rels: Seq[String],
+                         zIntercepts: Map[String, Double],
+                         zWeights: Map[String, IntMap[Double]],
+                         yWeights: Map[String, (Double, Double, Double)],
+                         numFeatures: Int) {
+
+    @transient private lazy val hasher =
+      new org.apache.spark.ml.feature.HashingTF().setNumFeatures(numFeatures)
+
+    /** Hash features in THIS model's space (must match fitZ's HashingTF). */
+    def hash(features: Seq[String]): Array[Int] = {
+      val out = new Array[Int](features.length)
+      var i = 0
+      features.foreach { f => out(i) = hasher.indexOf(f); i += 1 }
+      out
+    }
+
+    def zArgmax(features: Seq[String]): String =
+      zLogProbs(hash(features)).maxBy(p => (p._2, p._1))._1
+
+    def zLogProbs(hashed: Array[Int]): Map[String, Double] = {
+      val scores = zWeights.map { case (l, w) =>
+        var s = zIntercepts(l)
+        var i = 0
+        while (i < hashed.length) { s += w.getOrElse(hashed(i), 0.0); i += 1 }
+        l -> s
+      }
+      val mx = scores.values.max
+      val lse = mx + math.log(scores.values.map(s => math.exp(s - mx)).sum)
+      scores.map { case (l, s) => l -> (s - lse) }
+    }
+
+    /** p(y_r = 1 | z-count features of a bag). */
+    def yProb(rel: String, zs: Seq[String]): Double = {
+      val (b, wAlo, wProp) = yWeights(rel)
+      val c = zs.count(_ == rel)
+      val alo = if (c >= 1) 1.0 else 0.0
+      val prop = if (zs.isEmpty) 0.0 else c.toDouble / zs.length
+      1.0 / (1.0 + math.exp(-(b + wAlo * alo + wProp * prop)))
+    }
+
+    /** Bag-level prediction: infer z per sentence (argmax z-classifier),
+     *  then per-relation y probability over the z counts. */
+    def predictBag(sentFeatures: Seq[Seq[String]]): Map[String, Double] = {
+      val zs = sentFeatures.map(zArgmax)
+      rels.map(r => r -> yProb(r, zs)).toMap
+    }
+  }
+
+  private def bagRows(spark: SparkSession, sents: Dataset[MimlSentence],
+                      bags: Dataset[MimlBag]): Dataset[BagRow] = {
+    import spark.implicits._
+    sents.toDF().groupBy($"bag_id")
+      .agg(collect_list($"features").as("sents"))
+      .join(bags.toDF(), Seq("bag_id"))
+      .select($"bag_id", $"pos_labels", $"sents").as[BagRow]
+  }
+
+  /** M-step z: multinomial LR over hashed features (one distributed fit). */
+  private def fitZ(spark: SparkSession, rows: Dataset[(Seq[String], String)],
+                   zLabels: Seq[String], numFeatures: Int)
+      : (Map[String, Double], Map[String, IntMap[Double]]) = {
+    import spark.implicits._
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.classification.LogisticRegression
+    val idx = zLabels.zipWithIndex.toMap
+    val df = rows.toDF("features", "z")
+      .withColumn("y", udf((z: String) => idx(z).toDouble).apply($"z"))
+    val tf = new HashingTF().setInputCol("features").setOutputCol("fv")
+      .setNumFeatures(numFeatures)
+    val lr = new LogisticRegression().setFeaturesCol("fv").setLabelCol("y")
+      .setFamily("multinomial").setRegParam(1e-4).setMaxIter(50)
+    val m = lr.fit(tf.transform(df))
+    val ws = Array.fill(zLabels.length)(Map.newBuilder[Int, Double])
+    m.coefficientMatrix.foreachActive { (l, j, v) =>
+      if (v != 0.0) ws(l) += (j -> v)
+    }
+    (zLabels.indices.map(l => zLabels(l) -> m.interceptVector(l)).toMap,
+      zLabels.indices.map(l =>
+        zLabels(l) -> IntMap(ws(l).result().toSeq: _*)).toMap)
+  }
+
+  /** M-step y: per-relation binary LR over (atleast_once, proportion).
+   *  The feature space is 2-dimensional, so the scale-correct shape is ONE
+   *  distributed aggregation to a per-relation contingency table
+   *  (rel, y, alo, prop) -> count — tiny no matter how many bags — and a
+   *  deterministic driver-side weighted fit per relation. (Per-relation
+   *  spark.ml fits would be 41 full jobs per epoch for data that
+   *  aggregates to a few dozen rows.) */
+  private def fitY(spark: SparkSession,
+                   rows: Dataset[(Seq[String], Seq[String])], // (posLabels, zs)
+                   rels: Seq[String]): Map[String, (Double, Double, Double)] = {
+    import spark.implicits._
+    val stats = rows.flatMap { case (pos, zs) =>
+      rels.map { r =>
+        val c = zs.count(_ == r)
+        (r,
+          if (pos.contains(r)) 1.0 else 0.0,
+          if (c >= 1) 1.0 else 0.0,
+          if (zs.isEmpty) 0.0
+          else math.rint(c.toDouble / zs.length * 1000) / 1000)
+      }
+    }.toDF("rel", "y", "alo", "prop")
+      .groupBy($"rel", $"y", $"alo", $"prop").count().collect()
+    val byRel = stats.groupBy(_.getString(0))
+    rels.map { r =>
+      val table = byRel.getOrElse(r, Array.empty).map(row =>
+        (row.getDouble(1), row.getDouble(2), row.getDouble(3),
+          row.getLong(4)))
+      r -> fitBinaryLR(table)
+    }.toMap
+  }
+
+  /** Weighted 2-feature logistic regression by full-batch gradient descent
+   *  over the contingency table (deterministic, L2 1e-4). */
+  private def fitBinaryLR(table: Array[(Double, Double, Double, Long)])
+      : (Double, Double, Double) = {
+    var b = 0.0; var w1 = 0.0; var w2 = 0.0
+    val lrate = 0.5
+    val reg = 1e-4
+    val n = math.max(1.0, table.map(_._4).sum.toDouble)
+    var it = 0
+    while (it < 2000) {
+      var gb = 0.0; var g1 = 0.0; var g2 = 0.0
+      table.foreach { case (y, alo, prop, cnt) =>
+        val p = 1.0 / (1.0 + math.exp(-(b + w1 * alo + w2 * prop)))
+        val d = (p - y) * cnt
+        gb += d; g1 += d * alo; g2 += d * prop
+      }
+      b -= lrate * (gb / n)
+      w1 -= lrate * (g1 / n + reg * w1)
+      w2 -= lrate * (g2 / n + reg * w2)
+      it += 1
+    }
+    (b, w1, w2)
+  }
+
+  /** Local init z-labels (initializeZClassifierLocally): every sentence of
+   *  a positive bag takes the bag's FIRST (sorted) label; negative-bag
+   *  sentences are _NR. */
+  private def localZ(rows: Dataset[BagRow]): Dataset[(Seq[String], Seq[String])] = {
+    import rows.sparkSession.implicits._
+    rows.map { b =>
+      val z = b.pos_labels.sorted.headOption.getOrElse(NilLabel)
+      (b.pos_labels, b.sents.map(_ => z))
+    }
+  }
+
+  /** E-step: greedy conditional z inference per bag under the current
+   *  model (inferZLabelsStable). Returns (posLabels, sents, zs) per bag. */
+  private def eStep(rows: Dataset[BagRow], model: Model)
+      : Dataset[(Seq[String], Seq[Seq[String]], Seq[String])] = {
+    import rows.sparkSession.implicits._
+    val zLabels = (model.rels :+ NilLabel).distinct.sorted
+    rows.map { b =>
+      val hashed = b.sents.map(f => model.hash(f))
+      // init from the z classifier alone, then one greedy conditional pass
+      val zs = hashed.map(h =>
+        model.zLogProbs(h).maxBy(p => (p._2, p._1))._1).toArray
+      var i = 0
+      while (i < zs.length) {
+        val logPz = model.zLogProbs(hashed(i))
+        val bestLabel = zLabels.map { cand =>
+          val saved = zs(i)
+          zs(i) = cand
+          val yLL = model.rels.iterator.map { r =>
+            val p = model.yProb(r, zs.toSeq)
+            val eps = 1e-12
+            if (b.pos_labels.contains(r)) math.log(math.max(p, eps))
+            else math.log(math.max(1.0 - p, eps))
+          }.sum
+          zs(i) = saved
+          (logPz(cand) + yLL, cand)
+        }.maxBy(s => (s._1, s._2))._2
+        zs(i) = bestLabel
+        i += 1
+      }
+      (b.pos_labels, b.sents, zs.toSeq)
+    }
+  }
+
+  /** Full trainer. epochs = 0 returns the LOCAL model (init only) — the
+   *  baseline EM must beat. */
+  def train(spark: SparkSession, sents: Dataset[MimlSentence],
+            bags: Dataset[MimlBag], rels: Seq[String], epochs: Int = 2,
+            numFeatures: Int = graft.train.Trainer.NumFeatures): Model = {
+    import spark.implicits._
+    val rows = bagRows(spark, sents, bags).persist()
+    val zLabels = (rels :+ NilLabel).distinct.sorted
+    // ---- local init
+    val init = localZ(rows).persist()
+    var model = {
+      val zr = rows.map(b =>
+        (b.sents, b.pos_labels.sorted.headOption.getOrElse(NilLabel)))
+        .flatMap { case (ss, z) => ss.map(f => (f, z)) }
+      val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
+      val yw = fitY(spark, init, rels)
+      Model(rels, zi, zw, yw, numFeatures)
+    }
+    init.unpersist()
+    // ---- EM epochs
+    var e = 0
+    while (e < epochs) {
+      val inferred = eStep(rows, model).persist()
+      val zr = inferred.flatMap { case (_, ss, zs) => ss.zip(zs) }
+      val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
+      val yw = fitY(spark,
+        inferred.map { case (pos, _, zs) => (pos, zs) }, rels)
+      model = Model(rels, zi, zw, yw, numFeatures)
+      inferred.unpersist()
+      e += 1
+    }
+    rows.unpersist()
+    model
+  }
+
+  /** Freeze to the Trainer TSV format: z labels as rows (label, idx, w)
+   *  with idx -1 = intercept; y classifiers under "y:<rel>" with idx
+   *  0 = intercept, 1 = w_atleastonce, 2 = w_proportion. */
+  def saveTsv(model: Model, path: String): Unit = {
+    val lines =
+      model.zWeights.toSeq.sortBy(_._1).flatMap { case (l, w) =>
+        (s"$l\t-1\t${model.zIntercepts(l)}" +:
+          w.toSeq.sortBy(_._1).map { case (i, v) => s"$l\t$i\t$v" })
+      } ++
+      model.yWeights.toSeq.sortBy(_._1).flatMap { case (r, (b, w1, w2)) =>
+        Seq(s"y:$r\t0\t$b", s"y:$r\t1\t$w1", s"y:$r\t2\t$w2")
+      }
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+  }
+}

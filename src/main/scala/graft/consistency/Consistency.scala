@@ -191,7 +191,11 @@ object Consistency {
     }
 
     // X18 RemoveLowWeightRelationUnlessOnlyOneOfType (:601-607): keep if
-    // score >= 0.01 or f is its pred's best (sorted order: first per pred)
+    // score >= 0.01 or f is its pred's best (sorted order: first per pred).
+    // NOTE: unreachable after X7's unary score<0.01 kill — kept because the
+    // reference layers it the same way (X7 runs in the unary chain, X18 in
+    // the global chain) and because X18 must still hold if a caller runs
+    // entityPass on fills that skipped the unary pass.
     val bestScore = scala.collection.mutable.HashMap[String, Double]()
     fills.foreach(f =>
       if (!bestScore.contains(f.pred)) bestScore(f.pred) = f.score)

@@ -296,9 +296,13 @@ object PageGen {
   }
 
   /** n pages + deduplicated gold triple set (entity names injective at any
-   *  n). */
-  def corpus(n: Int): (Seq[Page], Set[Gold]) = {
-    val all = (0 until n).map(page)
+   *  n). `offset` shifts the index range: training tools use a FAR offset
+   *  (e.g. 10000) so the entities/thresholds they fit are disjoint from
+   *  the [0, 150) evaluation corpus the P/R gates run on — the templates
+   *  are shared (the generator IS the corpus language) but the shipped
+   *  model never sees an evaluation entity. */
+  def corpus(n: Int, offset: Int = 0): (Seq[Page], Set[Gold]) = {
+    val all = (offset until offset + n).map(page)
     (all.map(_._1), all.flatMap(_._2).toSet)
   }
 }

@@ -68,6 +68,70 @@ class ClassifySpec extends AnyFunSuite {
     assert(!bagMiss.contains("per:title"))
   }
 
+  test("C2 MIML-RE EM improves bag-level F1 over the local-only init") {
+    import graft.classify.MimlEm
+    import MimlEm.{MimlBag, MimlSentence}
+    val r1 = "per:employee_of"
+    val r2 = "per:title"
+    val rels = Seq(r1, r2)
+    // Multi-instance, multi-label fixture where the LOCAL init is provably
+    // wrong: init labels every sentence of a {r1, r2} bag with the FIRST
+    // label (r1), so the r2 signal feature ends up majority-labeled r1
+    // (30 r1 vs 24 r2 from the pure-r2 bags) and the local z classifier
+    // tags r2 evidence as r1. The E-step's y-factor (alo_r2 flips 0 -> 1
+    // on a positive-r2 bag) outweighs the 30:24 z prior, reassigns one f2
+    // sentence per mixed bag, and the M-step relearns f2 -> r2.
+    var bagId = -1L
+    val sents = scala.collection.mutable.ArrayBuffer[MimlSentence]()
+    val bags = scala.collection.mutable.ArrayBuffer[MimlBag]()
+    def bag(labels: Seq[String], feats: Seq[Seq[String]]): Unit = {
+      bagId += 1
+      bags += MimlBag(bagId, labels)
+      feats.foreach(f => sents += MimlSentence(bagId, f))
+    }
+    (0 until 15).foreach(_ => bag(Seq(r1, r2),
+      Seq(Seq("sig=f1"), Seq("sig=f2"), Seq("sig=f2"))))
+    (0 until 12).foreach(_ => bag(Seq(r2),
+      Seq(Seq("sig=f2"), Seq("sig=f2"))))
+    (0 until 20).foreach(_ => bag(Nil,
+      Seq(Seq("w=noise"), Seq("w=noise"))))
+    val sds = sents.toSeq.toDS()
+    val bds = bags.toSeq.toDS()
+    val local = MimlEm.train(spark, sds, bds, rels, epochs = 0)
+    val em = MimlEm.train(spark, sds, bds, rels, epochs = 2)
+    // z-level: local init mislabels the r2 signal; EM recovers it
+    assert(local.zArgmax(Seq("sig=f2")) == r1)
+    assert(em.zArgmax(Seq("sig=f2")) == r2)
+    // bag-level micro-F1 at the jointbayes 0.5 threshold
+    def f1(m: MimlEm.Model): Double = {
+      var tp = 0; var fp = 0; var fn = 0
+      bags.foreach { b =>
+        val feats = sents.filter(_.bag_id == b.bag_id).map(_.features).toSeq
+        val pred = m.predictBag(feats).filter(_._2 > 0.5).keySet
+        rels.foreach { r =>
+          val t = b.pos_labels.contains(r)
+          val p = pred.contains(r)
+          if (t && p) tp += 1
+          else if (!t && p) fp += 1
+          else if (t && !p) fn += 1
+        }
+      }
+      if (tp == 0) 0.0 else {
+        val pr = tp.toDouble / (tp + fp)
+        val rc = tp.toDouble / (tp + fn)
+        2 * pr * rc / (pr + rc)
+      }
+    }
+    val lf = f1(local)
+    val ef = f1(em)
+    assert(ef > lf + 0.2, s"EM F1 $ef did not improve on local $lf")
+    assert(ef >= 0.9, s"EM F1 $ef below 0.9")
+    // freeze round-trips through the TSV format
+    val dir = java.nio.file.Files.createTempDirectory("graft-miml").toString
+    MimlEm.saveTsv(em, s"$dir/z.tsv")
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/z.tsv")) > 0)
+  }
+
   test("C9 Bayes rescoring divides by the relation's conditional prior") {
     import graft.evaluate.Probabilities
     // the per-type priors partition the prior mass
