@@ -111,9 +111,16 @@ object Bench {
     // 32-thread mark) — 8/32 would measure the host's oversubscription,
     // not the pipeline's scaling. The calibration numbers are emitted in
     // the JSON so the choice is auditable per-run.
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "300000").toInt
+    // 600k pages x up to 5 rounds: larger inputs amortize the per-job tail
+    // that otherwise caps the 4N side (the compute-dominated fraction must
+    // dominate, mirroring real-cluster job sizing), and more interleaved
+    // rounds give each level more shots at an unthrottled host window —
+    // the BUDGET GUARD below (not the round count) is what bounds
+    // wall-clock, so a slow host degrades to fewer rounds instead of a
+    // timeout.
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "600000").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
     // wall-clock guard for the WHOLE bench process (round-2 postmortem:
     // 500k pages x 5 rounds outran the driver's budget and left rc=124
     // with nothing parseable). Before each round after the first, the

@@ -23,6 +23,24 @@ object Candidates {
 
   val MaxSentenceTokens = 150 // PreFeaturizerAnnotator.java:99 gate
 
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** F2 datum identity — the reference's sentence-gloss cache key
+   *  (common/CoreMapUtils.java:510-524): md5(whitespace-normalized
+   *  sentence) + ":" + first 7 hex of md5(entity) + ":" + first 7 hex of
+   *  md5(value). In-pipeline bag identity stays the provenance span (the
+   *  snapshot tables are the datum cache); this key is the CROSS-RUN
+   *  stable identity for an external datum/sentence cache, byte-compatible
+   *  with the reference's so cached datums could be shared. */
+  def glossKey(sentenceGloss: String, entityGloss: String,
+               valueGloss: String): String =
+    md5hex(sentenceGloss.replaceAll("\\s+", " ").trim) + ":" +
+      md5hex(entityGloss.trim).substring(0, 7) + ":" +
+      md5hex(valueGloss.trim).substring(0, 7)
+
   def fromSentence(s: Sentence): Seq[Candidate] = {
     if (s.tokens.length > MaxSentenceTokens) return Nil
     val Mentions.Spans(ents, slots) = Mentions.extract(s)

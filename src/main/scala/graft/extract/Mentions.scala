@@ -47,7 +47,8 @@ object Mentions {
     i = 0
     while (i < n) {
       val t = toks(i)
-      if (t.ner == "O" && t.antecedent.nonEmpty) {
+      if (t.ner == "O" && t.antecedent.nonEmpty &&
+          !graft.nlp.Coref.locationProForms.contains(t.word)) {
         val tpe =
           if (Gazetteers.personPronouns.contains(t.word)) NER.PERSON
           else NER.ORGANIZATION
@@ -69,7 +70,10 @@ object Mentions {
     val slots = Seq.newBuilder[Mention]
 
     // pronoun retag (SlotMentionAnnotator.java:91-119): PRP with person
-    // antecedent acts as a PERSON slot candidate normalized to the antecedent
+    // antecedent acts as a PERSON slot candidate normalized to the
+    // antecedent; the geography() half retags a location pro-form whose
+    // antecedent is a gazetteer-valid city/region/country as a slot of
+    // that type ("lives there" -> CITY "Paris")
     i = 0
     while (i < n) {
       val t = toks(i)
@@ -78,6 +82,18 @@ object Mentions {
           !overlapsEntity(i, i + 1) && closeEnough(i, i + 1)) {
         slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", i, i + 1,
           NER.PERSON, t.word, t.antecedent)
+      } else if (t.antecedent.nonEmpty &&
+          graft.nlp.Coref.locationProForms.contains(t.word) &&
+          !overlapsEntity(i, i + 1) && closeEnough(i, i + 1)) {
+        val geo = graft.consistency.WorldKnowledge.default
+        val tpe =
+          if (geo.isValidCity(t.antecedent)) NER.CITY
+          else if (geo.isValidRegion(t.antecedent)) NER.STATE_OR_PROVINCE
+          else if (geo.isValidCountry(t.antecedent)) NER.COUNTRY
+          else ""
+        if (tpe.nonEmpty)
+          slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", i, i + 1,
+            tpe, t.word, t.antecedent)
       }
       i += 1
     }

@@ -133,6 +133,8 @@ object Coref {
     // ---- pass 2: rewrite
     var lastPerson = ""
     var lastOrg = ""
+    var lastLocation = ""
+    val locationNers = Set(NER.CITY, NER.STATE_OR_PROVINCE, NER.COUNTRY)
     val out = Array.newBuilder[Array[String]]
     for ((words, ner) <- sents) {
       val ante = Array.fill(words.length)("")
@@ -148,6 +150,14 @@ object Coref {
           if (rep != surface) (i until j).foreach(k => ante(k) = rep)
           if (ner(i) == NER.PERSON) lastPerson = rep else lastOrg = rep
           i = j
+        } else if (locationNers.contains(ner(i))) {
+          // track the most recent location mention: antecedent for the
+          // "there"/"here" pro-forms (SlotMentionAnnotator.geography(),
+          // process/SlotMentionAnnotator.java:91-119)
+          var j = i
+          while (j < words.length && ner(j) == ner(i)) j += 1
+          lastLocation = (i until j).map(words).mkString(" ")
+          i = j
         } else {
           if (Gazetteers.personPronouns.contains(w) && lastPerson.nonEmpty)
             ante(i) = lastPerson
@@ -157,6 +167,8 @@ object Coref {
                     w == "group" || w == "university") && i > 0 &&
                    words(i - 1).equalsIgnoreCase("the") && lastOrg.nonEmpty)
             ante(i) = lastOrg
+          else if (locationProForms.contains(w) && lastLocation.nonEmpty)
+            ante(i) = lastLocation
           i += 1
         }
       }
@@ -164,4 +176,7 @@ object Coref {
     }
     out.result().toIndexedSeq
   }
+
+  /** Location pro-forms eligible for the geography() retag. */
+  val locationProForms: Set[String] = Set("there", "There", "here", "Here")
 }

@@ -18,6 +18,60 @@ class ExtractSpec extends AnyFunSuite {
     assert(slots.exists(m => m.ner == NER.DATE && m.normalized == "1980-03-03"))
   }
 
+  test("B2 AlternateNamesExtractor: coref spans, frequency gate, subsidiary geo") {
+    import graft.nlp.Annotator
+    import graft.extract.AlternateNames
+    // GDS resolves to the full org name via the acronym chain; the surface
+    // "GDS" is neither the name nor a prefix/suffix of it -> alternate name
+    val sents = Annotator.annotateText("https://x.example/alt",
+      "Global Dynamics Systems announced earnings. GDS also expanded. GDS hired staff.")
+    val fills = AlternateNames.extract(sents)
+    val alt = fills.find(_.pred == "org:alternate_names")
+    assert(alt.exists(f => f.subj == "Global Dynamics Systems" &&
+      f.obj == "GDS" && f.score == 1.0), s"fills: $fills")
+    // subsidiary detection: extra geo/of words flip the relation
+    assert(AlternateNames.extract(Seq.empty).isEmpty)
+    assert(AlternateNames.isSubsidiary(
+      Seq("Acme", "of", "Canada"), "Acme Global Systems Inc."))
+    assert(AlternateNames.isSubsidiary(
+      Seq("Acme", "Ontario"), "Acme Global Systems Inc."))
+    assert(!AlternateNames.isSubsidiary(
+      Seq("Acme", "Systems"), "Acme Global Systems Inc."))
+    // frequency gate: a value seen once among many literal mentions dies
+    val many = Annotator.annotateText("https://x.example/alt3",
+      ("Acme Systems Inc. grew. " * 30) + "ASI filed a report.")
+    val gated = AlternateNames.extract(many, fraction = 0.5)
+    assert(!gated.exists(_.obj == "ASI"), s"fills: $gated")
+  }
+
+  test("F2 gloss key: whitespace-normalized md5 datum identity") {
+    import graft.extract.Candidates.glossKey
+    val k = glossKey("John  Smith lives in Paris.", "John Smith", "Paris")
+    // whitespace normalization makes the key stable across re-tokenization
+    assert(k == glossKey(" John Smith lives in Paris. ", "John Smith", "Paris"))
+    val parts = k.split(":")
+    assert(parts.length == 3 && parts(0).length == 32 &&
+      parts(1).length == 7 && parts(2).length == 7)
+    assert(k != glossKey("John Smith lives in Paris.", "John Smith", "Lyon"))
+  }
+
+  test("A4 geography(): location pro-form becomes a typed slot via its antecedent") {
+    import graft.nlp.Annotator
+    val sents = Annotator.annotateText("https://x.example/geo",
+      "Maria Keller visited Paris. Maria Keller lives there. Maria Keller toured Texas. Maria Keller worked there.")
+    // sentence 2: "there" -> CITY slot normalized to Paris
+    val s1 = graft.extract.Mentions.extract(sents(1))
+    val citySlot = s1.slots.find(_.surface == "there")
+    assert(citySlot.exists(m => m.ner == graft.model.NER.CITY &&
+      m.normalized == "Paris"), s"slots: ${s1.slots}")
+    // sentence 4: the antecedent is now the REGION Texas -> STATE slot
+    val s3 = graft.extract.Mentions.extract(sents(3))
+    val stateSlot = s3.slots.find(_.surface == "there")
+    assert(stateSlot.exists(m =>
+      m.ner == graft.model.NER.STATE_OR_PROVINCE &&
+        m.normalized == "Texas"), s"slots: ${s3.slots}")
+  }
+
   test("candidates: per-sentence dedup on (entity, slotValue) + distance") {
     val s = sentencesOf("John Smith met Paris. Paris again.").head
     val cands = Candidates.fromSentence(s)
