@@ -66,4 +66,22 @@ class PipelineE2ESpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("golden triple-set hash for the fixed q30 corpus") {
+    // Committed golden: md5 over the sorted canonical triple rows
+    // (subj|pred|obj|score) of corpus(120) — the same corpus q30 dumps.
+    // Any semantic drift in NLP/extraction/consistency/linking shows up
+    // here as a hash change; update the constant ONLY with an explained
+    // diff (the P/R gate above proves correctness, this pins stability).
+    val (p120, _) = PageGen.corpus(120)
+    val rows = KGPipeline.run(spark, spark.createDataset(p120)).collect()
+      .map(t => f"${t.subj}|${t.pred}|${t.obj}|${t.score}%.12f")
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val golden = "bbe52ef2fe11b5255f2d7ba9ae0a40e9" // n=633, round 3
+    assert(h == golden,
+      s"triple-set hash $h (n=${rows.length}) != committed golden $golden")
+  }
 }
