@@ -50,6 +50,49 @@ object NearDup {
       sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
       i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""")
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside the
+   *  SRP-LSH one: a k-means quantizer partitions the corpus into nLists
+   *  inverted lists; a query exactly scans only its nProbe nearest lists,
+   *  so the scanned fraction is ~nProbe/nLists regardless of corpus size.
+   *  Spark shape: ml.KMeans (k-means||, distributed, seeded) fits the
+   *  quantizer; list assignment is a model transform (codegen'd predict);
+   *  the probe is a partition-pruned filter + exact cosine + top-k — the
+   *  centroid table is tiny and driver-resident, the corpus never leaves
+   *  the cluster. At 100 TB the assigned table would be WRITTEN
+   *  partitioned by list_id so a probe reads only nProbe partitions. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, query: Array[Float],
+              k: Int = 10, nLists: Int = 16, nProbe: Int = 2,
+              seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.withColumn("fv",
+      array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("list_id")
+    val model = km.fit(vecs)
+    // nProbe nearest centroids to the query — driver-side over the tiny
+    // centroid table (nLists entries)
+    val q = query.map(_.toDouble)
+    def dist2(c: org.apache.spark.ml.linalg.Vector): Double = {
+      var s = 0.0; var i = 0
+      while (i < q.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    val probed = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }.take(nProbe).map(_._2).toSeq
+    val qLit = typedLit(query.toSeq)
+    val dot = expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val nb = expr("aggregate(qe, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    model.transform(vecs)
+      .filter($"list_id".isin(probed: _*)) // the partition-pruning predicate
+      .withColumn("qe", qLit)
+      .select($"vec_id", $"list_id",
+        round(dot / sqrt(na * nb), 5).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(k)
+  }
+
   /** Bits for the SRP-LSH bucket space as a function of corpus size:
    *  buckets sized ~targetBucket vectors so the in-bucket exact pass
    *  stays bounded — at 10^9 vectors this yields ~24 bits, never the

@@ -77,6 +77,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("IVF ANN: probed lists recover the brute-force top-k neighbors") {
+    // two well-separated clusters; the query sits in cluster A — IVF with
+    // nProbe=1 must return exactly cluster A's members, ranked by cosine,
+    // matching the brute-force ranking on those vectors
+    val rnd = new scala.util.Random(5)
+    val a = (0 until 30).map(i => (i.toLong,
+      Array(10f + rnd.nextFloat(), 10f + rnd.nextFloat(), 0.5f, 0.1f)))
+    val b = (30 until 60).map(i => (i.toLong,
+      Array(-10f - rnd.nextFloat(), 2f, -8f, 5f)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val query = Array(10.5f, 10.5f, 0.5f, 0.1f)
+    val ivf = NearDup.ivfTopK(spark, emb, query, k = 5,
+      nLists = 2, nProbe = 1).collect()
+    assert(ivf.length == 5)
+    assert(ivf.forall(_.getAs[Long]("vec_id") < 30),
+      s"probe leaked into the far cluster: ${ivf.mkString(",")}")
+    // ranking agrees with brute force over the probed cluster
+    def cos(v: Array[Float]): Double = {
+      val dot = v.zip(query).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(v.map(x => x.toDouble * x).sum *
+        query.map(x => x.toDouble * x).sum)
+    }
+    // rank with the operator's own 5-dp rounding so ties break identically
+    val brute = a.sortBy { case (id, v) =>
+      (-math.rint(cos(v) * 1e5) / 1e5, id)
+    }.take(5).map(_._1)
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSeq == brute.toSeq)
+  }
+
   test("bag aggregation modes: noisy-or >= max >= any single p; sum capped") {
     val p = Provenance("d", "u", 0, 0, 1, 2, 3)
     val fills = Seq(0.4, 0.5, 0.6).map(sc =>
