@@ -120,7 +120,10 @@ object Bench {
     // timeout.
     val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "600000").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+    // 7 requested rounds is an upper bound, not a plan: the budget guard
+    // typically admits 5-6 at 600k on this host — each extra interleaved
+    // round is another best-of sample against bursty throttling
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
     // wall-clock guard for the WHOLE bench process (round-2 postmortem:
     // 500k pages x 5 rounds outran the driver's budget and left rc=124
     // with nothing parseable). Before each round after the first, the
