@@ -53,6 +53,10 @@ object Evaluate {
       .na.fill(0, Seq("hit"))
     val perBucket = g.groupBy(col("bucket")).agg(
       count(lit(1)).as("n"), sum(col("hit")).as("correct"))
+    // the un-partitioned window is over perBucket — at most 1/step + 1
+    // rows regardless of corpus size (the distributed groupBy above did
+    // the data-sized work), so the single-task sort is a dozen rows, not
+    // a scale hazard
     val w = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val answers = gold.select("subj", "pred", "obj").distinct().count()
