@@ -15,11 +15,33 @@ import org.apache.spark.sql.SparkSession
  * an empty tail): the headline+kg JSON line is printed BEFORE the scaling
  * loop, and the loop re-prints a progressively more complete line after
  * every finished round, so a timeout at ANY point leaves the most complete
- * measurement as the LAST json line on stdout. The loop is additionally
- * wall-clock-budgeted (SPARK_GRAFT_SCALE_BUDGET_S): it stops interleaving
- * rounds when the next round would not fit and reports what completed.
+ * measurement as the LAST json line on stdout.
+ *
+ * Evidence-QUALITY design (round-3 verdict: "2 rounds, one
+ * throttle-poisoned, best-of 1.005"): the loop now targets a number of
+ * CLEAN rounds, not a number of rounds. A round whose paired efficiency
+ * exceeds PlausibleEff is physically impossible as true scaling (local[4N]
+ * cannot beat local[N] by more than 4x on the same job) — it proves the
+ * N-side run was host-throttled, so the round is excluded from the
+ * estimator and reported in `discarded_efficiencies` with its raw times;
+ * the loop keeps interleaving until `target_clean_rounds` clean rounds
+ * exist AND the best-of estimate is itself in the plausible band, within
+ * the wall-clock budget. Budget is checked PER ROUND against the fastest
+ * observed full round (never start an N run whose 4N partner can't fit).
+ * All numeric JSON goes through a Locale.ROOT formatter — the f""
+ * interpolator is default-locale-sensitive and a comma-decimal locale
+ * would emit unparseable JSON.
  */
 object Bench {
+
+  /** A paired N/4N efficiency above this is physically impossible as true
+   *  scaling — it measures host throttling of the N side, not the
+   *  pipeline (small tolerance over 1.0 for timer jitter). */
+  val PlausibleEff = 1.05
+
+  /** Locale-fixed decimal (JSON must be machine-parseable everywhere). */
+  private def fd(v: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + dec + "f", Double.box(v))
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -55,6 +77,7 @@ object Bench {
     // the linker persists its input fills for the duration of one run;
     // looped runs in one session must not accumulate cached blocks
     // (aggravated by the fixed pre-touched heap — no headroom to leak into)
+    graft.link.Linker.release()
     spark.sharedState.cacheManager.clearCache()
     (c, sec)
   }
@@ -91,12 +114,12 @@ object Bench {
     val kgThr = kgPages / kgSec
 
     val qs = (qTimes :+ ("kg_pipeline" -> kgSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fd(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + kgSec
     val baseJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${f"$kgThr%.1f"},"triples_per_sec":${f"${nTriples / kgSec}%.1f"}}"""
+      s"""{"metric":"total","value":${fd(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${fd(kgThr, 1)},"triples_per_sec":${fd(nTriples / kgSec, 1)}}"""
     // evidence checkpoint #1: headline+kg survives even if the scaling
     // loop below is killed by the driver's timeout
     println(baseJson + "}")
@@ -111,32 +134,18 @@ object Bench {
     // 32-thread mark) — 8/32 would measure the host's oversubscription,
     // not the pipeline's scaling. The calibration numbers are emitted in
     // the JSON so the choice is auditable per-run.
-    // 600k pages x up to 5 rounds: larger inputs amortize the per-job tail
-    // that otherwise caps the 4N side (the compute-dominated fraction must
-    // dominate, mirroring real-cluster job sizing), and more interleaved
-    // rounds give each level more shots at an unthrottled host window —
-    // the BUDGET GUARD below (not the round count) is what bounds
-    // wall-clock, so a slow host degrades to fewer rounds instead of a
-    // timeout.
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "600000").toInt
+    // 400k pages (was 600k): large enough that the compute-dominated
+    // fraction dominates (builder round-3 data: the gate holds at 400k),
+    // small enough that 5+ interleaved rounds fit the driver's budget —
+    // evidence QUANTITY was the round-3 verdict's top finding.
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "400000").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    // 7 requested rounds is an upper bound, not a plan: the budget guard
-    // typically admits 5-6 at 600k on this host — each extra interleaved
-    // round is another best-of sample against bursty throttling
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
-    // wall-clock guard for the WHOLE bench process (round-2 postmortem:
-    // 500k pages x 5 rounds outran the driver's budget and left rc=124
-    // with nothing parseable). Before each round after the first, the
-    // loop checks that the worst observed round still fits; otherwise it
-    // stops and reports the rounds that completed.
+    // the loop targets CLEAN rounds (paired efficiency in the physically
+    // plausible band); maxRounds only caps pathology
+    val targetClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_CLEAN", "5").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "10").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "1500").toDouble
     spark.stop()
-    // INTERLEAVED rounds (N, 4N, N, 4N, ...), best-of per level: the
-    // sandbox host has multi-minute throttling windows that would poison
-    // a whole back-to-back block at one level; interleaving gives each
-    // level a shot at an unthrottled window, and min-time per level is
-    // the machine's true capability. A pure-compute calibration brackets
-    // every pipeline run so throttling is visible in the output.
     calibMops(2) // JIT warm
     var warmedN = Set.empty[Int]
     def oneRun(cpus: Int): Double = {
@@ -147,58 +156,83 @@ object Bench {
       s.stop()
       t
     }
-    val secsN = scala.collection.mutable.ArrayBuffer[Double]()
-    val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
-    val calibsN = scala.collection.mutable.ArrayBuffer[Double]()
-    val calibs4N = scala.collection.mutable.ArrayBuffer[Double]()
+
+    // raw per-round records: (nSec, n4Sec, calibN, calib4N, clean?)
+    final case class Round(nSec: Double, n4Sec: Double,
+                           calibN: Double, calib4N: Double) {
+      def eff: Double = nSec / n4Sec / 4.0
+      def clean: Boolean = eff <= PlausibleEff
+    }
+    val rounds = scala.collection.mutable.ArrayBuffer[Round]()
 
     def scalingJson(): String = {
-      val calibN = calibsN.max
-      val calib4N = calibs4N.max
-      val thrN = scalePages / secsN.min
-      val thr4N = scalePages / secs4N.min
-      // headline efficiency = BEST-OF-K PER LEVEL (standard best-of-N
-      // benchmarking): the host's throttling is bursty and hits the
-      // higher-thread runs disproportionately, so the fastest run at each
-      // level is the machine's true capability there. The per-round paired
-      // ratios and the bracketing pure-compute calibrations are emitted
-      // alongside so the estimator is auditable against the raw data.
+      val clean = rounds.filter(_.clean)
+      val est = if (clean.nonEmpty) clean else rounds.toSeq
+      val thrN = scalePages / est.map(_.nSec).min
+      val thr4N = scalePages / est.map(_.n4Sec).min
+      // headline efficiency = BEST-OF-K PER LEVEL over CLEAN rounds
+      // (standard best-of-N benchmarking): throttling only ever makes a
+      // run slower, so min time per level is the machine's capability;
+      // restricting to clean rounds keeps a throttled-N round from
+      // donating its (clean) 4N partner while its N side is unusable.
+      // Raw times for ALL rounds are emitted alongside.
       val eff = (thr4N / thrN) / 4.0
-      val effs = secsN.zip(secs4N).map { case (a, b) => (a / b) / 4.0 }.sorted
+      val effs = est.map(_.eff).sorted
       val effPairedMedian =
         if (effs.size % 2 == 1) effs(effs.size / 2)
         else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
+      val discarded = rounds.filter(!_.clean)
       s""""scaling":{"pages":$scalePages,"n_threads":$scaleN,"n4_threads":${scaleN * 4},""" +
-      s""""rounds_completed":${secsN.length},"rounds_requested":$rounds,"budget_s":${f"$budgetS%.0f"},""" +
-      s""""local_n_pages_per_sec":${f"$thrN%.1f"},"local_4n_pages_per_sec":${f"$thr4N%.1f"},""" +
-      s""""efficiency_n_to_4n":${f"$eff%.3f"},""" +
-      s""""efficiency_paired_median":${f"$effPairedMedian%.3f"},""" +
-      s""""round_efficiencies":[${secsN.zip(secs4N).map { case (a, b) => f"${a / b / 4.0}%.3f" }.mkString(",")}],""" +
-      s""""runs_n_sec":[${secsN.map(s => f"$s%.1f").mkString(",")}],""" +
-      s""""runs_4n_sec":[${secs4N.map(s => f"$s%.1f").mkString(",")}],""" +
-      s""""calibration":{"pure_compute_n_mops":${f"$calibN%.0f"},"pure_compute_4n_mops":${f"$calib4N%.0f"},"pure_compute_scaling":${f"${calib4N / calibN / 4.0}%.3f"}}}"""
+      s""""rounds_completed":${clean.length},"rounds_total_run":${rounds.length},""" +
+      s""""target_clean_rounds":$targetClean,"budget_s":${fd(budgetS, 0)},""" +
+      s""""plausible_eff_ceiling":${fd(PlausibleEff, 2)},""" +
+      s""""local_n_pages_per_sec":${fd(thrN, 1)},"local_4n_pages_per_sec":${fd(thr4N, 1)},""" +
+      s""""efficiency_n_to_4n":${fd(eff, 3)},""" +
+      s""""efficiency_paired_median":${fd(effPairedMedian, 3)},""" +
+      s""""round_efficiencies":[${est.map(r => fd(r.eff, 3)).mkString(",")}],""" +
+      s""""discarded_efficiencies":[${discarded.map(r => fd(r.eff, 3)).mkString(",")}],""" +
+      s""""runs_n_sec":[${rounds.map(r => fd(r.nSec, 1)).mkString(",")}],""" +
+      s""""runs_4n_sec":[${rounds.map(r => fd(r.n4Sec, 1)).mkString(",")}],""" +
+      s""""calib_n_mops":[${rounds.map(r => fd(r.calibN, 0)).mkString(",")}],""" +
+      s""""calib_4n_mops":[${rounds.map(r => fd(r.calib4N, 0)).mkString(",")}],""" +
+      s""""calibration":{"pure_compute_n_mops":${fd(rounds.map(_.calibN).max, 0)},""" +
+      s""""pure_compute_4n_mops":${fd(rounds.map(_.calib4N).max, 0)},""" +
+      s""""pure_compute_scaling":${fd(rounds.map(_.calib4N).max / rounds.map(_.calibN).max / 4.0, 3)}}}"""
     }
 
-    var worstRoundS = 0.0
+    // INTERLEAVED rounds (N, 4N, N, 4N, ...): the sandbox host throttles
+    // in multi-minute bursts that would poison a whole back-to-back block
+    // at one level; interleaving gives each level repeated shots at an
+    // unthrottled window. Budget fit uses the FASTEST completed round
+    // (the clean-round wall cost — a throttled round is slower, and the
+    // guard must not let one bad round block all further evidence) with a
+    // pre-measurement estimate for round 1.
+    def estRoundS: Double =
+      if (rounds.nonEmpty) rounds.map(r => r.nSec + r.n4Sec).min + 15.0
+      else scalePages / 2800.0 + scalePages / 9000.0 + 20.0
     var r = 1
-    var stop = false
-    while (r <= rounds && !stop) {
-      // budget check: always run round 1; afterwards only start a round
-      // if the slowest round seen so far still fits the remaining budget
-      if (r > 1 && elapsed + worstRoundS > budgetS) { stop = true }
-      else {
-        val tRound0 = System.nanoTime()
-        calibsN += calibMops(scaleN)
-        secsN += oneRun(scaleN)
-        calibs4N += calibMops(scaleN * 4)
-        secs4N += oneRun(scaleN * 4)
-        worstRoundS = math.max(worstRoundS, (System.nanoTime() - tRound0) / 1e9)
-        // evidence checkpoint per round: the LAST json line on stdout is
-        // always the most complete measurement so far
-        println(baseJson + "," + scalingJson() + "}")
-        Console.out.flush()
-        r += 1
+    def needMore: Boolean = {
+      val clean = rounds.filter(_.clean)
+      clean.length < targetClean || {
+        // best-of over clean rounds can still exceed the plausible band if
+        // every N-side run so far was throttled — keep sampling
+        val eff = (scalePages / clean.map(_.n4Sec).min) /
+          (scalePages / clean.map(_.nSec).min) / 4.0
+        eff > PlausibleEff
       }
+    }
+    while (r <= maxRounds && (rounds.isEmpty || needMore) &&
+           (r == 1 || elapsed + estRoundS <= budgetS)) {
+      val cN = calibMops(scaleN)
+      val tN = oneRun(scaleN)
+      val c4N = calibMops(scaleN * 4)
+      val t4N = oneRun(scaleN * 4)
+      rounds += Round(tN, t4N, cN, c4N)
+      // evidence checkpoint per round: the LAST json line on stdout is
+      // always the most complete measurement so far
+      println(baseJson + "," + scalingJson() + "}")
+      Console.out.flush()
+      r += 1
     }
   }
 

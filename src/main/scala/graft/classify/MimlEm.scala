@@ -113,9 +113,18 @@ object MimlEm {
     import spark.implicits._
     import org.apache.spark.ml.feature.HashingTF
     import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.attribute.NominalAttribute
     val idx = zLabels.zipWithIndex.toMap
     val df = rows.toDF("features", "z")
       .withColumn("y", udf((z: String) => idx(z).toDouble).apply($"z"))
+      // pin numClasses via label metadata: without it spark.ml infers the
+      // class count from the max label VALUE present, so a fit whose input
+      // never contains the last z label (possible under local init or
+      // after an E-step) would return a smaller coefficientMatrix and the
+      // interceptVector(l) indexing below would throw
+      .withColumn("y", col("y").as("y",
+        NominalAttribute.defaultAttr.withName("y")
+          .withNumValues(zLabels.length).toMetadata()))
     val tf = new HashingTF().setInputCol("features").setOutputCol("fv")
       .setNumFeatures(numFeatures)
     val lr = new LogisticRegression().setFeaturesCol("fv").setLabelCol("y")
@@ -264,20 +273,107 @@ object MimlEm {
     model
   }
 
-  /** Freeze to the Trainer TSV format: z labels as rows (label, idx, w)
-   *  with idx -1 = intercept; y classifiers under "y:<rel>" with idx
-   *  0 = intercept, 1 = w_atleastonce, 2 = w_proportion. */
+  /** Freeze to the Trainer TSV format: a `__meta__` header row carrying
+   *  the hash-space size, then z labels as rows (label, idx, w) with idx
+   *  -1 = intercept; y classifiers under "y:<rel>" with idx 0 = intercept,
+   *  1 = w_atleastonce, 2 = w_proportion. */
   def saveTsv(model: Model, path: String): Unit = {
-    val lines =
-      model.zWeights.toSeq.sortBy(_._1).flatMap { case (l, w) =>
+    val lines = s"__meta__\tnumFeatures\t${model.numFeatures}" +:
+      (model.zWeights.toSeq.sortBy(_._1).flatMap { case (l, w) =>
         (s"$l\t-1\t${model.zIntercepts(l)}" +:
           w.toSeq.sortBy(_._1).map { case (i, v) => s"$l\t$i\t$v" })
       } ++
       model.yWeights.toSeq.sortBy(_._1).flatMap { case (r, (b, w1, w2)) =>
         Seq(s"y:$r\t0\t$b", s"y:$r\t1\t$w1", s"y:$r\t2\t$w2")
-      }
+      })
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Inverse of saveTsv (the loader the frozen resource was missing). */
+  def loadTsv(in: java.io.InputStream): Model = {
+    var numFeatures = 1 << 16 // MimlFreeze's hashed z space (pre-meta files)
+    val zi = scala.collection.mutable.HashMap[String, Double]()
+    val zw = scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Int, Double)]]()
+    val yw = scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.HashMap[Int, Double]]()
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { ln =>
+      val parts = ln.split('\t')
+      if (parts.length == 3) parts(0) match {
+        case "__meta__" if parts(1) == "numFeatures" =>
+          numFeatures = parts(2).toInt
+        case l if l.startsWith("y:") =>
+          yw.getOrElseUpdate(l.substring(2),
+            scala.collection.mutable.HashMap[Int, Double]())
+            .update(parts(1).toInt, parts(2).toDouble)
+        case l =>
+          val i = parts(1).toInt
+          if (i == -1) zi(l) = parts(2).toDouble
+          else zw.getOrElseUpdate(l,
+            scala.collection.mutable.ArrayBuffer[(Int, Double)]())
+            .append((i, parts(2).toDouble))
+      }
+    }
+    val rels = yw.keys.toSeq.sorted
+    Model(rels,
+      zi.toMap,
+      zi.keys.map(l => l -> IntMap(zw.getOrElse(l,
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]).toSeq: _*))
+        .toMap,
+      rels.map(r => r -> {
+        val m = yw(r)
+        (m.getOrElse(0, 0.0), m.getOrElse(1, 0.0), m.getOrElse(2, 0.0))
+      }).toMap,
+      numFeatures)
+  }
+
+  /** The shipped trained MIML model (classpath resource written by
+   *  graft.tools.MimlFreeze), loaded once per JVM — the inference twin of
+   *  extract.Scorer.frozen for the one-vs-all LR. */
+  lazy val frozen: Option[Model] =
+    Option(getClass.getResourceAsStream("/graft/miml_z_weights.tsv"))
+      .map(loadTsv)
+
+  /** MIML inference over candidate mentions (the consumer that makes the
+   *  frozen model reachable end-to-end): bags = (subj, subj_type, obj,
+   *  obj_type) mention groups; per bag infer z per sentence (argmax z
+   *  classifier), then per-relation y probability over the z counts
+   *  (JointBayesRelationExtractor.classifyMentions + y inference,
+   *  classify/JointBayesRelationExtractor.java:1989-2110). Relations are
+   *  type-gated like the LR path; provenance = the first (lowest doc/sent/
+   *  offset) mention whose inferred z matches the relation, else the
+   *  bag's first mention. One groupByKey shuffle on the pair key — the
+   *  model rides the closure (broadcast), never shuffled. */
+  def classifyBags(spark: SparkSession,
+                   cands: Dataset[graft.model.Candidate],
+                   model: Model, threshold: Double = 0.5)
+      : Dataset[graft.model.SlotFill] = {
+    import spark.implicits._
+    import graft.model.{Provenance, Relations, SlotFill}
+    cands.groupByKey(c => (c.subj, c.subj_type, c.obj, c.obj_type))
+      .flatMapGroups { (key, it) =>
+        val (subj, st, obj, ot) = key
+        val ms = it.toVector.sortBy(c =>
+          (c.doc_id, c.url, c.sent_idx, c.ent_b, c.slot_b))
+        val zs = ms.map(c => model.zArgmax(c.features))
+        def prov(rel: String): Provenance = {
+          val c = zs.indexOf(rel) match {
+            case -1 => ms.head
+            case i => ms(i)
+          }
+          Provenance(c.doc_id, c.url, c.sent_idx, c.ent_b, c.ent_e,
+            c.slot_b, c.slot_e)
+        }
+        Relations.all.iterator
+          .filter(m => m.entityType == st && m.validSlotTypes.contains(ot))
+          .filter(m => model.yWeights.contains(m.name))
+          .map(m => m.name -> model.yProb(m.name, zs))
+          .filter(_._2 >= threshold)
+          .map { case (rel, p) =>
+            SlotFill(subj, st, rel, obj, ot, p, prov(rel))
+          }
+      }
   }
 }

@@ -69,9 +69,16 @@ object GraphOps {
 
   /** G6: connected components over an undirected edge list
    *  (src, dst) -> (vertex, component) with component = min vertex id
-   *  reachable; bounded min-label propagation (large-scale CC pattern). */
+   *  reachable; min-label propagation (large-scale CC pattern), iterated
+   *  TO CONVERGENCE. `maxIter` is a safety valve, not the stopping rule:
+   *  propagation needs ~diameter rounds, and a silently-truncated run
+   *  would hand the linker a NON-fixpoint labeling (one entity's surface
+   *  forms canonicalizing to different representatives with no warning) —
+   *  so hitting the cap without convergence FAILS LOUDLY instead of
+   *  returning. The default cap covers any plausible alias-graph diameter
+   *  (chains longer than 50 hops mean corrupt input, not a real entity). */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     import spark.implicits._
     val und = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
@@ -98,6 +105,12 @@ object GraphOps {
       i += 1
     }
     und.unpersist()
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(labels still changing) — the labeling is NOT a fixpoint and " +
+          "using it would silently split entities; raise maxIter or " +
+          "inspect the alias graph for a pathological chain")
     labels
   }
 

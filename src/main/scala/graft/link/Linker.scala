@@ -248,6 +248,24 @@ object Linker {
     out
   }
 
+  /** Caches retained by the last canonicalize call. canonicalize's result
+   *  is LAZY, so its persisted inputs (`fills` always; the distributed
+   *  path's alias table) cannot be dropped inside the call — they would
+   *  be recomputed on first consumption. Callers materialize the result,
+   *  then call release() (KGPipeline.run's cache clear and Bench.kgRun
+   *  already cover the product paths; bare library callers own the call). */
+  @volatile private var retained: List[org.apache.spark.sql.Dataset[_]] = Nil
+
+  /** Drop the caches the last canonicalize call retained (safe to call
+   *  any time after its result is materialized; idempotent). */
+  def release(): Unit = {
+    retained.foreach(_.unpersist())
+    retained = Nil
+  }
+
+  private def retain(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    retained = ds :: retained
+
   /** Rewrite subj/obj to canonical representatives. SIZE-ADAPTIVE
    *  (north_star: "broadcast-joined alias dictionaries" for the common
    *  case; GraphConsistencyPostProcessors.java:51-129 semantics at any
@@ -261,10 +279,11 @@ object Linker {
       : Dataset[SlotFill] = {
     import spark.implicits._
     // consumed twice (alias-map build + rewrite join): persist to cut the
-    // upstream (NLP -> bags) to a single computation. Long-lived sessions
-    // that loop the pipeline (Bench scaling loop, stream compaction) clear
-    // the cache between runs (spark.sharedState.cacheManager).
+    // upstream (NLP -> bags) to a single computation; tracked in `retained`
+    // for the caller's release() (the result is lazy — see release's doc).
+    release() // drop any previous call's leftovers first
     val fills = fillsIn.persist()
+    retain(fills)
     // pairs are consumed twice on the driver path (count + collect) and
     // twice on the distributed path (CC + count) — persist, drop after
     val pairsDs = aliasPairs(spark, fills).persist()
@@ -300,7 +319,9 @@ object Linker {
           .filter($"v" =!= $"canon")
           .select($"v".as("name"), $"canon")
           .persist()
-        lastAliasCount = al.count()
+        retain(al) // consumed by BOTH rewrite joins below; release() drops it
+        lastAliasCount = al.count() // materializes al
+        comps.unpersist() // CC's final labels cache — al no longer needs it
         pairsDs.unpersist()
         al
       }

@@ -323,8 +323,9 @@ object KGPipeline {
           .withColumn("rows_per_sec",
             col("rows") / greatest(col("millis"), lit(1L)) * 1000))
       // every stage is materialized in its snapshot table by now — drop
-      // the linker's intra-run persist so repeated checkpointed runs in
+      // the linker's intra-run persists so repeated checkpointed runs in
       // one session don't accumulate cached blocks
+      Linker.release()
       spark.sharedState.cacheManager.clearCache()
     }
     out

@@ -126,10 +126,55 @@ class ClassifySpec extends AnyFunSuite {
     val ef = f1(em)
     assert(ef > lf + 0.2, s"EM F1 $ef did not improve on local $lf")
     assert(ef >= 0.9, s"EM F1 $ef below 0.9")
-    // freeze round-trips through the TSV format
+    // freeze round-trips through the TSV format — loadTsv (the inference
+    // loader) must reproduce the trained model exactly
     val dir = java.nio.file.Files.createTempDirectory("graft-miml").toString
     MimlEm.saveTsv(em, s"$dir/z.tsv")
-    assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/z.tsv")) > 0)
+    val loaded = MimlEm.loadTsv(new java.io.FileInputStream(s"$dir/z.tsv"))
+    assert(loaded.rels == em.rels)
+    assert(loaded.numFeatures == em.numFeatures)
+    assert(loaded.zArgmax(Seq("sig=f2")) == r2)
+    em.yWeights.foreach { case (r, (b, w1, w2)) =>
+      val (lb, lw1, lw2) = loaded.yWeights(r)
+      assert(math.abs(lb - b) < 1e-9 && math.abs(lw1 - w1) < 1e-9 &&
+        math.abs(lw2 - w2) < 1e-9)
+    }
+    // identical bag predictions through the round-trip
+    val sample = Seq(Seq(Seq("sig=f1"), Seq("sig=f2")), Seq(Seq("w=noise")))
+    sample.foreach { feats =>
+      val a = em.predictBag(feats)
+      val c = loaded.predictBag(feats)
+      a.foreach { case (r, p) => assert(math.abs(c(r) - p) < 1e-9) }
+    }
+  }
+
+  test("C2 shipped MIML model loads and is reachable at inference") {
+    import graft.classify.MimlEm
+    // the committed classpath resource must have a working loader
+    assert(MimlEm.frozen.nonEmpty, "miml_z_weights.tsv did not load")
+    val m = MimlEm.frozen.get
+    assert(m.rels.nonEmpty && m.zWeights.nonEmpty && m.yWeights.nonEmpty)
+    // end-to-end consumer: bag-level MIML inference over candidate
+    // mentions of a planted corpus (disjoint from the training offset)
+    val (pages, gold) = graft.fixtures.PageGen.corpus(20)
+    val sents = graft.pipeline.KGPipeline.sentences(spark,
+      spark.createDataset(pages))
+    val cands = sents.mapPartitions(
+      _.flatMap(graft.extract.Candidates.fromSentence))
+    val fills = MimlEm.classifyBags(spark, cands, m).collect()
+    assert(fills.nonEmpty, "MIML inference produced no fills")
+    val goldSet = gold.map(g => (g.subj, g.pred, g.obj))
+    val got = fills.map(f =>
+      (f.subj, graft.model.Relations.officialName(f.pred), f.obj)).toSet
+    val tp = got.intersect(goldSet).size
+    val p = tp.toDouble / got.size
+    val r = tp.toDouble / goldSet.size
+    info(f"MIML bag inference on 20 planted pages: P=$p%.3f R=$r%.3f " +
+      s"(${got.size} fills, ${goldSet.size} gold)")
+    // floor, not parity: the MIML path has no rule extractor, no unary
+    // consistency pass and no per-relation tuned thresholds in front of it
+    assert(p >= 0.5, s"MIML precision $p below floor")
+    assert(r >= 0.5, s"MIML recall $r below floor")
   }
 
   test("C9 Bayes rescoring divides by the relation's conditional prior") {

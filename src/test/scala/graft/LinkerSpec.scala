@@ -74,6 +74,28 @@ class LinkerSpec extends AnyFunSuite {
     } finally Linker.MaxDriverAliasPairs = saved
   }
 
+  test("canonicalize + release leaves no cached blocks (bare library caller)") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache() // isolate from other suites
+    def orgFill(subj: String) = graft.model.SlotFill(subj,
+      NER.ORGANIZATION, "org:founded", "1990-XX-XX", "DATE", 0.9, prov)
+    val fills = Seq(orgFill("Acme Inc"), orgFill("Acme"),
+      orgFill("Vertex Robotics Ltd."), orgFill("Vertex Robotics")).toDS()
+    def checkPath(): Unit = {
+      val out = Linker.canonicalize(spark, fills)
+      assert(out.collect().nonEmpty) // materialize, as the contract requires
+      Linker.release()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "cached plans survived canonicalize + release")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "persistent RDD blocks survived canonicalize + release")
+    }
+    checkPath() // driver union-find path
+    val saved = Linker.MaxDriverAliasPairs
+    try { Linker.MaxDriverAliasPairs = 0L; checkPath() } // distributed path
+    finally Linker.MaxDriverAliasPairs = saved
+  }
+
   test("union-find reaches the transitive fixpoint across blocks") {
     // GDC -(acronym block)-> Global Dynamics Corp -(normalized block)->
     // Global Dynamics: all three must collapse to ONE maximal-surface rep

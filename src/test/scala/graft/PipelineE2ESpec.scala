@@ -74,8 +74,11 @@ class PipelineE2ESpec extends AnyFunSuite {
     // here as a hash change; update the constant ONLY with an explained
     // diff (the P/R gate above proves correctness, this pins stability).
     val (p120, _) = PageGen.corpus(120)
+    // Locale.ROOT: the f"" interpolator is default-locale-sensitive — a
+    // comma-decimal locale would silently change the hash
     val rows = KGPipeline.run(spark, spark.createDataset(p120)).collect()
-      .map(t => f"${t.subj}|${t.pred}|${t.obj}|${t.score}%.12f")
+      .map(t => t.subj + "|" + t.pred + "|" + t.obj + "|" +
+        String.format(java.util.Locale.ROOT, "%.12f", Double.box(t.score)))
       .sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(rows.mkString("\n").getBytes("UTF-8"))
