@@ -258,7 +258,21 @@ object SparkEntry {
       e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
         .select($"vec_id", round(dot / sqrt(na * nb), 5).as("cos"))
         .orderBy($"cos".desc, $"vec_id").limit(10)
-    })
+    }),
+    // multimodal plumbing with REAL image decodes on the driver-visible
+    // path: every 5th payload is a generated PNG javax.imageio must
+    // actually decode; all output columns are id-arithmetic, so the
+    // oracle covers both paths (the 19-dim feature/histogram shape is
+    // gated by ModulesSpec)
+    "q23_media_features" -> q((s, d) =>
+      graft.multimodal.Multimodal.featureQuery(s, d)),
+    // IVF ANN probe with the deterministic sampled-centroid quantizer —
+    // the whole path (assignment argmin, probe-list selection, list-pruned
+    // cosine top-k) is mirrored row-for-row by the DuckDB oracle; the
+    // k-means quantizer + fit/probe split is spec-gated (DedupSpec)
+    "q27_embed_ivf" -> q((s, d) =>
+      graft.dedup.NearDup.ivfSampleTopK(s, t(s, d, "embeddings"),
+        queryId = 0L, k = 10, nLists = 8, nProbe = 3))
   ) ++ sparkOnlyQueries
 
   /** Operators with no faithful SQL mirror: driver records a rows-only
@@ -294,8 +308,6 @@ object SparkEntry {
           $"band0", $"band1", $"band2", $"band3")
         .orderBy($"doc_id")
     }),
-    "q23_media_features" -> q((s, d) =>
-      graft.multimodal.Multimodal.featureQuery(s, d)),
     "q24_embed_neardup" -> q((s, d) => {
       import s.implicits._
       // 8 bits / low threshold at sf scale so the oracle compares real
@@ -522,6 +534,56 @@ object SparkEntry {
           AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
               / greatest(len(regexp_extract_all(text, '\S+')), 1) < 15) AS quality_ok
          FROM documents ORDER BY doc_id""",
+    // q23: both payload paths are deterministic functions of doc_id —
+    // every 5th id is a real solid-color PNG whose decoded dimensions and
+    // exact channel means (PNG is lossless) mirror featureQuery's
+    // generator arithmetic; the rest hit the undecodable-bytes fallback
+    "q23_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'image/png'
+              ELSE 'application/octet-stream' END AS mime,
+         (doc_id % 5 = 0) AS decoded,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 8 + doc_id % 9 ELSE -1 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 8 + doc_id % 7 ELSE -1 END AS INTEGER) AS height,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN (doc_id * 37) % 256 ELSE 0 END AS INTEGER) AS mean_r,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN (doc_id * 59) % 256 ELSE 0 END AS INTEGER) AS mean_g,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN (doc_id * 83) % 256 ELSE 0 END AS INTEGER) AS mean_b
+         FROM documents ORDER BY media_id""",
+    // q27: the SAME IVF computation as ivfSampleTopK — centroids are the
+    // embeddings of vec_ids 1..8; assignment = argmin squared-L2 with
+    // min-cid tiebreak; probe = the 3 centroids nearest the query; then
+    // exact cosine top-10 inside the probed lists only
+    "q27_embed_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                       WHERE vec_id BETWEEN 1 AND 8),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         zz AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.ce) AS cx
+                FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0),
+         dist AS (SELECT vec_id, cid,
+                    sum((CAST(x AS DOUBLE) - CAST(cx AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(cx AS DOUBLE))) AS d2
+                  FROM zz GROUP BY 1, 2),
+         assign AS (SELECT vec_id, cid AS list_id FROM
+                     (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM dist) WHERE rn = 1),
+         qz AS (SELECT c.cid, unnest(q.qe) AS qx, unnest(c.ce) AS cx
+                FROM q CROSS JOIN cent c),
+         qdist AS (SELECT cid,
+                     sum((CAST(qx AS DOUBLE) - CAST(cx AS DOUBLE)) * (CAST(qx AS DOUBLE) - CAST(cx AS DOUBLE))) AS d2
+                   FROM qz GROUP BY 1),
+         probe AS (SELECT cid FROM
+                    (SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM qdist)
+                   WHERE rn <= 3),
+         u AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e
+               JOIN assign a ON e.vec_id = a.vec_id
+               JOIN probe p ON a.list_id = p.cid
+               CROSS JOIN q),
+         sc AS (SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+                FROM u GROUP BY 1)
+         SELECT vec_id, round(dot / sqrt(na * nb), 5) AS cos
+         FROM sc ORDER BY cos DESC, vec_id LIMIT 10""",
     "q22_simhash" -> simhashOracleSql
   )
 

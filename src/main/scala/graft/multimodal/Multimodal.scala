@@ -104,22 +104,55 @@ object Multimodal {
     }
   }
 
-  /** Query for the driver harness: synthesize a binary column from the
-   *  documents table (md5 bytes as a stand-in payload — NOT a decodable
-   *  image, exercising the fallback path), run the batched extract, return
-   *  features. The decoded-image path is gated by ModulesSpec on real
-   *  generated PNGs. */
+  /** Deterministic tiny solid-color PNG — a pure function of the id, so
+   *  the DECODED properties (dimensions + exact channel means, PNG being
+   *  lossless) are arithmetic functions of the id that a SQL oracle can
+   *  recompute without an image library. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val rgb = (((id * 37) % 256).toInt << 16) |
+      (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    imageIoInit
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Query for the driver harness, exercising BOTH payload paths: every
+   *  5th media_id carries a real (deterministically generated) PNG that
+   *  decodeImage must actually decode — dimensions and solid-color channel
+   *  means are exact functions of the id, so the whole output has a full
+   *  DuckDB oracle; the rest carry md5 bytes (not a decodable image),
+   *  exercising the byte-histogram fallback with decoded=false. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val media = docs.select(
-      col("doc_id").as("media_id"),
-      unhex(md5(col("text"))).as("media"),
-      lit("application/octet-stream").as("mime"),
-      lit(16).as("n_bytes")).as[MediaRow]
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        if (id % 5 == 0) {
+          val png = syntheticPng(id)
+          MediaRow(id, png, "image/png", png.length)
+        } else {
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          MediaRow(id, b, "application/octet-stream", b.length)
+        }
+      }
     extractFeatures(spark, media).toDF()
-      .select(col("media_id"), col("n_bytes"), col("decoded"),
-        round(element_at(col("features"), 4), 5).as("f0"))
+      .select(col("media_id"), col("mime"), col("decoded"),
+        col("width"), col("height"),
+        element_at(col("features"), 1).cast("int").as("mean_r"),
+        element_at(col("features"), 2).cast("int").as("mean_g"),
+        element_at(col("features"), 3).cast("int").as("mean_b"))
       .orderBy("media_id")
   }
 }

@@ -88,8 +88,12 @@ class DedupSpec extends AnyFunSuite {
       Array(-10f - rnd.nextFloat(), 2f, -8f, 5f)))
     val emb = (a ++ b).toDF("vec_id", "embedding")
     val query = Array(10.5f, 10.5f, 0.5f, 0.1f)
-    val ivf = NearDup.ivfTopK(spark, emb, query, k = 5,
-      nLists = 2, nProbe = 1).collect()
+    // fit once, probe separately (the amortized shape bench/real use needs)
+    val index = NearDup.ivfFit(spark, emb, nLists = 2)
+    index.assigned.persist().count() // materialize: probes must not re-fit
+    val ivf = NearDup.ivfProbe(spark, index, query, k = 5, nProbe = 1)
+      .collect()
+    index.assigned.unpersist()
     assert(ivf.length == 5)
     assert(ivf.forall(_.getAs[Long]("vec_id") < 30),
       s"probe leaked into the far cluster: ${ivf.mkString(",")}")
@@ -104,6 +108,25 @@ class DedupSpec extends AnyFunSuite {
       (-math.rint(cos(v) * 1e5) / 1e5, id)
     }.take(5).map(_._1)
     assert(ivf.map(_.getAs[Long]("vec_id")).toSeq == brute.toSeq)
+
+    // sampled-centroid variant (q27's shape): probing ALL lists is a full
+    // scan, so the result must equal brute force over everything but the
+    // query row — and probing 1 of 4 lists must stay inside its lists
+    val q0 = a.head._2
+    def cos0(v: Array[Float]): Double = {
+      val dot = v.zip(q0).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(v.map(x => x.toDouble * x).sum *
+        q0.map(x => x.toDouble * x).sum)
+    }
+    val bruteAll = (a.tail ++ b).sortBy { case (id, v) =>
+      (-math.rint(cos0(v) * 1e5) / 1e5, id)
+    }.take(5).map(_._1)
+    val full = NearDup.ivfSampleTopK(spark, emb, queryId = 0L, k = 5,
+      nLists = 4, nProbe = 4).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == bruteAll.toSeq, s"full-probe IVF $full != brute $bruteAll")
+    val pruned = NearDup.ivfSampleTopK(spark, emb, queryId = 0L, k = 5,
+      nLists = 4, nProbe = 1).collect()
+    assert(pruned.nonEmpty && pruned.length <= 5)
   }
 
   test("bag aggregation modes: noisy-or >= max >= any single p; sum capped") {
