@@ -205,44 +205,64 @@ object MimlEm {
     }
   }
 
-  /** E-step: greedy conditional z inference per bag under the current
-   *  model (inferZLabelsStable). Returns (posLabels, sents, zs) per bag. */
+  /** Greedy conditional z inference for ONE bag under the given model
+   *  (inferZLabelsStable): init from the z classifier alone, then one
+   *  greedy pass maximizing log p(z_i|x_i) + log p(Y_bag | z-with-z_i). */
+  def inferBag(model: Model, posLabels: Seq[String],
+               sents: Seq[Seq[String]]): Seq[String] = {
+    val zLabels = (model.rels :+ NilLabel).distinct.sorted
+    val hashed = sents.map(f => model.hash(f))
+    val zs = hashed.map(h =>
+      model.zLogProbs(h).maxBy(p => (p._2, p._1))._1).toArray
+    var i = 0
+    while (i < zs.length) {
+      val logPz = model.zLogProbs(hashed(i))
+      val bestLabel = zLabels.map { cand =>
+        val saved = zs(i)
+        zs(i) = cand
+        val yLL = model.rels.iterator.map { r =>
+          val p = model.yProb(r, zs.toSeq)
+          val eps = 1e-12
+          if (posLabels.contains(r)) math.log(math.max(p, eps))
+          else math.log(math.max(1.0 - p, eps))
+        }.sum
+        zs(i) = saved
+        (logPz(cand) + yLL, cand)
+      }.maxBy(s => (s._1, s._2))._2
+      zs(i) = bestLabel
+      i += 1
+    }
+    zs.toSeq
+  }
+
+  /** E-step over a bag set: embarrassingly parallel per bag (map), model
+   *  weights broadcast with the closure. */
   private def eStep(rows: Dataset[BagRow], model: Model)
       : Dataset[(Seq[String], Seq[Seq[String]], Seq[String])] = {
     import rows.sparkSession.implicits._
-    val zLabels = (model.rels :+ NilLabel).distinct.sorted
-    rows.map { b =>
-      val hashed = b.sents.map(f => model.hash(f))
-      // init from the z classifier alone, then one greedy conditional pass
-      val zs = hashed.map(h =>
-        model.zLogProbs(h).maxBy(p => (p._2, p._1))._1).toArray
-      var i = 0
-      while (i < zs.length) {
-        val logPz = model.zLogProbs(hashed(i))
-        val bestLabel = zLabels.map { cand =>
-          val saved = zs(i)
-          zs(i) = cand
-          val yLL = model.rels.iterator.map { r =>
-            val p = model.yProb(r, zs.toSeq)
-            val eps = 1e-12
-            if (b.pos_labels.contains(r)) math.log(math.max(p, eps))
-            else math.log(math.max(1.0 - p, eps))
-          }.sum
-          zs(i) = saved
-          (logPz(cand) + yLL, cand)
-        }.maxBy(s => (s._1, s._2))._2
-        zs(i) = bestLabel
-        i += 1
-      }
-      (b.pos_labels, b.sents, zs.toSeq)
-    }
+    rows.map(b => (b.pos_labels, b.sents, inferBag(model, b.pos_labels, b.sents)))
   }
 
+  /** One bag with its CURRENT z assignment (fold-EM working state). */
+  final case class AssignedBag(bag_id: Long, pos_labels: Seq[String],
+                               sents: Seq[Seq[String]], zs: Seq[String])
+
   /** Full trainer. epochs = 0 returns the LOCAL model (init only) — the
-   *  baseline EM must beat. */
+   *  baseline EM must beat.
+   *
+   *  folds > 1 is the reference's cross-validated EM structure
+   *  (JointBayesRelationExtractor.java:663-745): bags are partitioned
+   *  into K folds (bag_id % K), and fold f's E-step uses a z classifier
+   *  trained on the OTHER folds' current assignments — each bag's z
+   *  inference never consults a classifier that memorized its own
+   *  sentences, which is what keeps the E-step from locking in the
+   *  init's mistakes. After the last epoch a single z classifier is
+   *  refit on all inferred labels (the reference's final inference
+   *  model). folds = 1 keeps the shared-z toy shape. */
   def train(spark: SparkSession, sents: Dataset[MimlSentence],
             bags: Dataset[MimlBag], rels: Seq[String], epochs: Int = 2,
-            numFeatures: Int = graft.train.Trainer.NumFeatures): Model = {
+            numFeatures: Int = graft.train.Trainer.NumFeatures,
+            folds: Int = 1): Model = {
     import spark.implicits._
     val rows = bagRows(spark, sents, bags).persist()
     val zLabels = (rels :+ NilLabel).distinct.sorted
@@ -258,19 +278,62 @@ object MimlEm {
     }
     init.unpersist()
     // ---- EM epochs
-    var e = 0
-    while (e < epochs) {
-      val inferred = eStep(rows, model).persist()
-      val zr = inferred.flatMap { case (_, ss, zs) => ss.zip(zs) }
+    if (folds <= 1) {
+      var e = 0
+      while (e < epochs) {
+        val inferred = eStep(rows, model).persist()
+        val zr = inferred.flatMap { case (_, ss, zs) => ss.zip(zs) }
+        val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
+        val yw = fitY(spark,
+          inferred.map { case (pos, _, zs) => (pos, zs) }, rels)
+        model = Model(rels, zi, zw, yw, numFeatures)
+        inferred.unpersist()
+        e += 1
+      }
+      rows.unpersist()
+      model
+    } else {
+      // working state: per-bag current assignment, init = local
+      var cur = rows.map { b =>
+        val z = b.pos_labels.sorted.headOption.getOrElse(NilLabel)
+        AssignedBag(b.bag_id, b.pos_labels, b.sents, b.sents.map(_ => z))
+      }.persist()
+      cur.count()
+      var e = 0
+      while (e < epochs) {
+        var f = 0
+        while (f < folds) {
+          // fold-f z classifier: fit on the OTHER folds' assignments
+          val zr = cur.filter(_.bag_id % folds != f)
+            .flatMap(b => b.sents.zip(b.zs))
+          val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
+          val foldModel = Model(rels, zi, zw, model.yWeights, numFeatures)
+          // E-step for fold f only; other folds' assignments unchanged
+          val next = cur.map { b =>
+            if (b.bag_id % folds != f) b
+            else b.copy(zs = inferBag(foldModel, b.pos_labels, b.sents))
+          }.persist()
+          next.count()
+          cur.unpersist()
+          cur = next
+          f += 1
+        }
+        // M-step y on ALL bags' fresh assignments (per-epoch, like the
+        // reference's y update after its fold sweep)
+        val yw = fitY(spark, cur.map(b => (b.pos_labels, b.zs)), rels)
+        model = model.copy(yWeights = yw)
+        e += 1
+      }
+      // final single z classifier over all inferred labels — the
+      // inference-time model (fold classifiers exist only to keep
+      // training honest)
+      val zr = cur.flatMap(b => b.sents.zip(b.zs))
       val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
-      val yw = fitY(spark,
-        inferred.map { case (pos, _, zs) => (pos, zs) }, rels)
-      model = Model(rels, zi, zw, yw, numFeatures)
-      inferred.unpersist()
-      e += 1
+      val out = Model(rels, zi, zw, model.yWeights, numFeatures)
+      cur.unpersist()
+      rows.unpersist()
+      out
     }
-    rows.unpersist()
-    model
   }
 
   /** Freeze to the Trainer TSV format: a `__meta__` header row carrying

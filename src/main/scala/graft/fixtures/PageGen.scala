@@ -264,6 +264,83 @@ object PageGen {
   private val natList = Gazetteers.nationalities.keys.toSeq.sorted
   private def natOf(k: Int) = natList(math.abs(k) % natList.size)
 
+  /** HELD-OUT template family: phrasings that appear in NO training
+   *  corpus (TrainFreeze/MimlFreeze consume only `templates` via
+   *  corpus()), used exclusively by corpusHeldOut — the
+   *  template-generalization gate. Facts reuse the SAME entity-indexed
+   *  fact functions as `templates`, so cross-corpus consistency (X12
+   *  gazetteer agreement, X15 single-cardinality, X16 pair spacings)
+   *  holds by construction; only the surface language is new. */
+  private def heldOutTemplates(i: Int): Seq[(String, Seq[Gold])] = {
+    val p = person(i); val p2 = person(i + 1); val p3 = person(i + 2)
+    val o = org(i); val o2 = org(i + 1); val o3 = org(i + 2)
+    val off = Relations.officialName _
+    Seq(
+      // employment, passive phrasing (train: "works as a T at O")
+      (s"$p is employed by $o.",
+        Seq(Gold(p, off("per:employee_of"), o))),
+      // residence as an appositive (train: "lives in C")
+      (s"$p2, a resident of ${resCity(i + 1)}, spoke to reporters.",
+        Seq(Gold(p2, off("per:cities_of_residence"), resCity(i + 1)))),
+      // education (train: "graduated from O")
+      (s"$p2 studied at $o2.",
+        Seq(Gold(p2, "per:schools_attended", o2))),
+      // ownership stated from the subsidiary's side (train: "O acquired S")
+      (s"${org(i + 3)} is a subsidiary of $o.",
+        Seq(Gold(org(i + 3), "org:parents", o),
+          Gold(o, "org:subsidiaries", org(i + 3)))),
+      // charges (train: "charged with")
+      (s"$p was indicted for ${chargeList(i % chargeList.size)}.",
+        Seq(Gold(p, "per:charges", chargeList(i % chargeList.size)))),
+      // spouse, kinship-noun phrasing (train: "married"); same ±1 pair
+      (s"$p3 is the wife of $p2.",
+        Seq(Gold(p3, "per:spouse", p2), Gold(p2, "per:spouse", p3))),
+      // top member, passive (train: "is the president of")
+      (s"$o is led by $p3.",
+        Seq(Gold(o, off("org:top_members/employees"), p3))),
+      // death place/date via "passed away in CITY" (train pairs the city
+      // only with "died of CAUSE in"; states/countries with "passed away")
+      (s"$p3 passed away in ${deathCity(i + 2)} on ${dateStr(deathDateK(i + 2))}.",
+        Seq(Gold(p3, off("per:city_of_death"), deathCity(i + 2)),
+          Gold(p3, off("per:date_of_death"), timex(deathDateK(i + 2))))),
+      // cause of death (train: "died of")
+      (s"$p3 succumbed to ${causeOf(i + 2)}.",
+        Seq(Gold(p3, "per:cause_of_death", causeOf(i + 2)))),
+      // person alias (train: "also known as"); same ±7 pair spacing
+      (s"$p3, nicknamed ${person(i + 9)}, retired last year.",
+        Seq(Gold(p3, "per:alternate_names", person(i + 9)),
+          Gold(person(i + 9), "per:alternate_names", p3))),
+      // founding (train: "was founded by P in Y")
+      (s"$o3 was established by $p2 in ${foundedYear(i + 2)}.",
+        Seq(Gold(o3, "org:founded_by", p2),
+          Gold(o3, off("org:founded"), s"${foundedYear(i + 2)}-XX-XX")))
+    )
+  }
+
+  /** One page from the held-out family (same page shape as `page`). */
+  def pageHeldOut(i: Int): (Page, Seq[Gold]) = {
+    val ts = heldOutTemplates(i)
+    val nSent = 2 + (i % 3)
+    val chosen = (0 until nSent).map(k => ts((i + k * 5) % ts.size))
+    val sents = chosen.map(_._1) ++ (0 until 5).map(k => filler(i + k))
+    val text = sents.mkString(" ")
+    val gold = chosen.flatMap(_._2)
+    val url = s"https://held-out-${i % 97}.example/page-$i"
+    val html = ("<html><head><title>t</title></head><body><p>" +
+      TextExtractor.escapeHtml(text) + "</p></body></html>")
+      .getBytes("UTF-8")
+    val warcTs = new Timestamp(1700000000000L + i.toLong * 37000L)
+    (Page(url, warcTs, html, text, "en"), gold)
+  }
+
+  /** Held-out-template corpus: same entity universe, UNSEEN language.
+   *  The e2e gate reports its P/R beside the in-template one — the
+   *  in-template 1.0 measures mechanics, this measures generalization. */
+  def corpusHeldOut(n: Int, offset: Int = 0): (Seq[Page], Set[Gold]) = {
+    val all = (offset until offset + n).map(pageHeldOut)
+    (all.map(_._1), all.flatMap(_._2).toSet)
+  }
+
   /** Filler sentences with no gold (multibyte rows exercise the
    *  byte-identity invariant). */
   private def filler(i: Int): String = {

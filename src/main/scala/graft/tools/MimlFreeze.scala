@@ -48,9 +48,12 @@ object MimlFreeze {
     val rels = keyed.filter($"label" =!= "_NR")
       .select($"label").distinct().as[String].collect().toSeq.sorted
     // 2^16 hashed z space: the 42-class multinomial fit is the freeze's
-    // dominant cost and the toy corpus has ~10^4 distinct features
+    // dominant cost and the toy corpus has ~10^4 distinct features.
+    // folds = 3 is the reference's cross-validated EM structure (its
+    // production config is 8 epochs x 3 folds; 2 epochs keep the freeze
+    // tractable at toy scale)
     val model = MimlEm.train(spark, mimlSents, bags, rels, epochs = 2,
-      numFeatures = 1 << 16)
+      numFeatures = 1 << 16, folds = 3)
     MimlEm.saveTsv(model, out)
     println(s"[miml] trained ${rels.size} relations over " +
       s"${bags.count()} bags, froze z+y weights to $out")

@@ -126,6 +126,14 @@ class ClassifySpec extends AnyFunSuite {
     val ef = f1(em)
     assert(ef > lf + 0.2, s"EM F1 $ef did not improve on local $lf")
     assert(ef >= 0.9, s"EM F1 $ef below 0.9")
+    // fold-structured EM (the reference's K-fold z-classifier shape):
+    // at least matches the shared-z EM on the fixture, and still fixes
+    // the local init's z mistake
+    val foldEm = MimlEm.train(spark, sds, bds, rels, epochs = 2, folds = 3)
+    val ff = f1(foldEm)
+    info(f"bag-level F1: local=$lf%.3f sharedEM=$ef%.3f foldEM=$ff%.3f")
+    assert(ff >= ef - 1e-9, s"fold-EM F1 $ff below shared-z EM $ef")
+    assert(foldEm.zArgmax(Seq("sig=f2")) == r2)
     // freeze round-trips through the TSV format — loadTsv (the inference
     // loader) must reproduce the trained model exactly
     val dir = java.nio.file.Files.createTempDirectory("graft-miml").toString

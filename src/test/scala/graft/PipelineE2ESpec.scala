@@ -63,6 +63,31 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(partial == first)
   }
 
+  test("template-held-out generalization: P/R floors on unseen phrasings") {
+    // corpusHeldOut's sentence templates appear in NO training corpus
+    // (TrainFreeze/MimlFreeze consume only `templates`): this gate
+    // measures generalization to unseen language over the same entity
+    // universe — the in-template P/R=1.0 above measures mechanics only.
+    // The floors are the committed measured values; raise them if the
+    // system improves, never lower them silently.
+    val (hp, hgold) = PageGen.corpusHeldOut(60)
+    val got = KGPipeline.run(spark, spark.createDataset(hp)).collect()
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    val want = hgold.map(g => (g.subj, g.pred, g.obj))
+    val tp = got.intersect(want).size
+    val p = tp.toDouble / math.max(got.size, 1)
+    val r = tp.toDouble / want.size
+    info(f"held-out templates (n=60): P=$p%.3f R=$r%.3f " +
+      s"(got=${got.size}, want=${want.size}, " +
+      s"FP=${(got -- want).take(3)}, FN=${(want -- got).take(3)})")
+    // measured 1.000/1.000 when committed (the heuristic rule layer is
+    // the reference's lexicon, not learned from templates — recall does
+    // not collapse on unseen phrasings); floors leave margin for corpus
+    // growth, not for regressions
+    assert(p >= 0.95, f"held-out precision $p%.3f below floor 0.95")
+    assert(r >= 0.90, f"held-out recall $r%.3f below floor 0.90")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
