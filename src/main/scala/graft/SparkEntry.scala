@@ -54,14 +54,24 @@ object SparkEntry {
       // discounts are centesimal, so prod(1-p) = prod(100-cents)/100^n is an
       // exact integer — immune to log/round/summation-order ulp noise (the
       // pipeline's log-domain variant is gated by ScalaTest instead).
-      val w = Window.partitionBy($"l_orderkey").orderBy(
-        $"l_linenumber", $"l_partkey", $"l_suppkey",
-        round($"l_extendedprice" * 100), round($"l_discount" * 100))
-      t(s, d, "lineitem").withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 4)
-        .groupBy($"l_orderkey").agg(
-          product(lit(100) - round($"l_discount" * 100)).cast("long").as("inv_prod"),
-          count(lit(1)).as("n"))
+      // Plan shape (round 4): the rank-filter window forced a full
+      // shuffle + SORT of lineitem by a 5-column key before the group.
+      // Groups are tiny (≤7 lineitems/order), so collect_list →
+      // array_sort → slice computes the same per-group top-4 inside ONE
+      // hash aggregate: same single exchange, no global sort, O(|group|)
+      // per-group work. At 100 TB the sort was the scale hazard; the
+      // hash agg is the shape that survives.
+      t(s, d, "lineitem").select($"l_orderkey",
+          struct($"l_linenumber", $"l_partkey", $"l_suppkey",
+            round($"l_extendedprice" * 100).as("pc"),
+            round($"l_discount" * 100).as("dc")).as("it"))
+        .groupBy($"l_orderkey")
+        .agg(slice(array_sort(collect_list($"it")), 1, 4).as("top"))
+        .select($"l_orderkey",
+          aggregate($"top", lit(1L),
+            (acc, x) => acc * (lit(100L) - x.getField("dc").cast("long")))
+            .as("inv_prod"),
+          size($"top").cast("long").as("n"))
         .orderBy($"l_orderkey")
     }),
     "q03_argmax" -> q((s, d) => {

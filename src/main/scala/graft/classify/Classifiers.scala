@@ -65,4 +65,64 @@ object Classifiers {
         $"score", $"prov")
       .as[SlotFill]
   }
+
+  /** C6 ensemble training modes (EnsembleRelationExtractor.EnsembleMethod,
+   *  classify/EnsembleRelationExtractor.java:40-47,159-230; the SUBAGGING
+   *  default is Props.java:344-346). The reference shuffles datum indices
+   *  on the driver and deals them round-robin into k disjoint subsamples;
+   *  at corpus scale the training set is cluster-sized, so the deal here
+   *  is a deterministic hash of the datum's bag key mod k — disjoint,
+   *  covering, and keeps all mentions of one (subj, obj, label) bag in the
+   *  same subsample (the reference partitions at the same bag granularity:
+   *  KBPDataset rows are sentence groups). */
+  def subagSamples(labeled: DataFrame, k: Int, seed: Long = 0L)
+      : Seq[DataFrame] = {
+    require(k >= 1)
+    val dealt = labeled.withColumn("_sample",
+      pmod(xxhash64(lit(seed), col("subj"), col("obj"), col("label")),
+        lit(k.toLong)))
+    (0 until k).map(s => dealt.filter(col("_sample") === s).drop("_sample"))
+  }
+
+  /** C6 BAGGING (:165-168 via sampleData): k bootstrap resamples with
+   *  replacement at the original expected size. Spark's poisson-based
+   *  `sample(withReplacement = true)` is the standard distributed
+   *  bootstrap (exact multinomial resampling needs a global index). */
+  def bagSamples(labeled: DataFrame, k: Int, seed: Long = 0L)
+      : Seq[DataFrame] =
+    (0 until k).map(s =>
+      labeled.sample(withReplacement = true, 1.0, seed + s))
+
+  /** Classify candidates with ONE trained component model (broadcast map
+   *  of per-relation frozen LRs) — the per-component step of the ensemble;
+   *  combine k of these with `ensemble` (AGREE_MOST). Type gates and
+   *  per-relation thresholds match the shipped-model path in
+   *  extract.Scorer. */
+  def classifyWith(spark: SparkSession, cands: Dataset[Candidate],
+                   model: Map[String, graft.train.Trainer.FrozenLR])
+      : Dataset[SlotFill] = {
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    cands.flatMap { c =>
+      val hashed = graft.extract.Scorer.hashFeatures(c.features)
+      val prov = Provenance(c.doc_id, c.url, c.sent_idx, c.ent_b, c.ent_e,
+        c.slot_b, c.slot_e)
+      graft.model.Relations.all.iterator.filter { m =>
+        m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
+      }.flatMap { m =>
+        b.value.get(m.name).flatMap { lr =>
+          var s = lr.intercept
+          var i = 0
+          while (i < hashed.length) {
+            s += lr.weights.getOrElse(hashed(i), 0.0); i += 1
+          }
+          val p = graft.extract.Scorer.sigmoid(s)
+          if (p > lr.threshold)
+            Some(SlotFill(c.subj, c.subj_type, m.name, c.obj, c.obj_type,
+              p, prov))
+          else None
+        }
+      }.toSeq
+    }
+  }
 }

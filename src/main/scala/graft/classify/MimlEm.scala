@@ -247,6 +247,43 @@ object MimlEm {
   final case class AssignedBag(bag_id: Long, pos_labels: Seq[String],
                                sents: Seq[Seq[String]], zs: Seq[String])
 
+  /** Min et al. 2013 incomplete-KB relabeling ("Distant Supervision for
+   *  Relation Extraction with an Incomplete Knowledge Base", the
+   *  guessYLabels extension, JointBayesRelationExtractor.java:548-660):
+   *  each epoch restores the ORIGINAL KB labels, scores every
+   *  (bag, non-positive relation) pair by its y probability under the
+   *  current model (z inferred by the classifier alone, exactly
+   *  computeYLogProbs), and promotes the GLOBAL top
+   *  (theta·nBags·nRels − nPositive) pairs to positives for this epoch
+   *  only — the reference's BoundedPriorityQueue becomes a distributed
+   *  orderBy+limit (TakeOrdered — never a full sort at scale). Unpromoted
+   *  unknowns count as negatives, which is already inferBag's treatment
+   *  of non-positive labels. */
+  private def promoteUnknowns(spark: SparkSession, rows: Dataset[BagRow],
+                              model: Model, rels: Seq[String],
+                              theta: Double, nBags: Long, nPos: Long)
+      : Dataset[BagRow] = {
+    import spark.implicits._
+    val k = (theta * nBags * rels.size).toInt - nPos.toInt
+    if (k <= 0) return rows // target already reached — no relabeling
+    val m = model
+    val top = rows.flatMap { b =>
+        val zs = b.sents.map(s => m.zArgmax(s))
+        rels.filterNot(b.pos_labels.contains)
+          .map(r => (b.bag_id, r, m.yProb(r, zs)))
+      }.toDF("bag_id", "rel", "p")
+      .orderBy(desc("p"), asc("bag_id"), asc("rel")) // deterministic ties
+      .limit(k)
+      .groupBy($"bag_id").agg(collect_list($"rel").as("promoted"))
+    rows.toDF().join(top, Seq("bag_id"), "left")
+      .select($"bag_id",
+        when($"promoted".isNull, $"pos_labels")
+          .otherwise(array_sort(array_union($"pos_labels", $"promoted")))
+          .as("pos_labels"),
+        $"sents")
+      .as[BagRow]
+  }
+
   /** Full trainer. epochs = 0 returns the LOCAL model (init only) — the
    *  baseline EM must beat.
    *
@@ -258,11 +295,18 @@ object MimlEm {
    *  sentences, which is what keeps the E-step from locking in the
    *  init's mistakes. After the last epoch a single z classifier is
    *  refit on all inferred labels (the reference's final inference
-   *  model). folds = 1 keeps the shared-z toy shape. */
+   *  model). folds = 1 keeps the shared-z toy shape.
+   *
+   *  unlabeledTheta enables the Min et al. 2013 semi-supervised
+   *  relabeling (promoteUnknowns above) on the shared-z path from epoch 1
+   *  on, mirroring the reference's zSingleClassifier branch (its
+   *  Props.TRAIN_UNLABELED default is off, like this parameter; the
+   *  per-fold scoring branch is not ported — fold-EM keeps KB labels). */
   def train(spark: SparkSession, sents: Dataset[MimlSentence],
             bags: Dataset[MimlBag], rels: Seq[String], epochs: Int = 2,
             numFeatures: Int = graft.train.Trainer.NumFeatures,
-            folds: Int = 1): Model = {
+            folds: Int = 1,
+            unlabeledTheta: Option[Double] = None): Model = {
     import spark.implicits._
     val rows = bagRows(spark, sents, bags).persist()
     val zLabels = (rels :+ NilLabel).distinct.sorted
@@ -279,9 +323,19 @@ object MimlEm {
     init.unpersist()
     // ---- EM epochs
     if (folds <= 1) {
+      // original-label counts for the relabeling target (restored each
+      // epoch — promotions never accumulate across epochs)
+      lazy val nBags = rows.count()
+      lazy val nPos = rows.map(_.pos_labels.size.toLong)
+        .reduce(_ + _)
       var e = 0
       while (e < epochs) {
-        val inferred = eStep(rows, model).persist()
+        val rowsE = unlabeledTheta match {
+          case Some(theta) if e > 0 =>
+            promoteUnknowns(spark, rows, model, rels, theta, nBags, nPos)
+          case _ => rows
+        }
+        val inferred = eStep(rowsE, model).persist()
         val zr = inferred.flatMap { case (_, ss, zs) => ss.zip(zs) }
         val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
         val yw = fitY(spark,

@@ -220,6 +220,92 @@ object Consistency {
     fills
   }
 
+  /** Fill count above which the Gibbs variant (quadratic per entity, like
+   *  the reference's) falls back to the linear greedy entityPass. */
+  val MaxGibbsFills = 512
+
+  /** Symmetric can-these-two-fills-coexist predicate — the pairwise checks
+   *  entityPass applies sequentially (X13/X13b/X14/X15/X16 + X12-geo), as
+   *  one predicate for the Gibbs variant's consistency test
+   *  (HeuristicSlotfillPostProcessor.blockGibbsCanTransition → isConsistent,
+   *  HeuristicSlotfillPostProcessor.java:66-118). */
+  def pairConsistent(a: SlotFill, b: SlotFill): Boolean = {
+    if (a.pred == b.pred) {
+      if (a.obj == b.obj) return false                           // X13
+      if (Relations.singleValued.contains(a.pred)) return false  // X15
+      if (sameValue(a.obj, b.obj)) return false                  // X14
+    } else if (a.obj == b.obj) {
+      // X13b employee_of vs member_of on one obj: employee side dies
+      if ((a.pred == "per:employee_of" && b.pred == "per:member_of") ||
+          (b.pred == "per:employee_of" && a.pred == "per:member_of"))
+        return false
+      // X16 (plausibleOverlap is stored symmetric)
+      if (!Relations.plausibleOverlap.contains((a.pred, b.pred)))
+        return false
+    }
+    // X12 pairwise geo containment within one family
+    (geoRole.get(a.pred), geoRole.get(b.pred)) match {
+      case (Some((fa, ra)), Some((fb, rb))) if fa == fb =>
+        geoConsistentPair(ra, a.obj, rb, b.obj)
+      case _ => true
+    }
+  }
+
+  /** Gibbs-sampling consistency variant (HeuristicSlotfillPostProcessor
+   *  .filterStep "pass 2", Props.GibbsObjective.SUM with
+   *  test.consistency.mixingtime restarts, Props.java:246-250) — OFF by
+   *  default in the reference (the default TOP objective IS the greedy
+   *  pass, which `entityPass` implements); shipped for parity, not wired
+   *  into the pipeline default.
+   *
+   *  Seeded-random restarts (Random(42), like the reference) of randomized
+   *  greedy enabling under `pairConsistent`; keeps the assignment with the
+   *  highest SUM of active scores. The sorted greedy assignment seeds the
+   *  argmax, so the variant never returns a lower-objective set than
+   *  greedy. Quadratic per entity like the reference's — above
+   *  `MaxGibbsFills` it falls back to the linear `entityPass` (a hot
+   *  canonical subject must never become an O(n²·mixingTime) straggler). */
+  def entityPassGibbs(fillsIn: Seq[SlotFill],
+                      mixingTime: Int = 10): Seq[SlotFill] = {
+    if (fillsIn.lengthCompare(MaxGibbsFills) > 0) return entityPass(fillsIn)
+    val sorted = fillsIn.sorted(fillOrdering).toArray
+    val n = sorted.length
+    if (n == 0) return Nil
+    def enable(order: Seq[Int]): Array[Boolean] = {
+      val active = new Array[Boolean](n)
+      order.foreach { i =>
+        var ok = true
+        var j = 0
+        while (ok && j < n) {
+          if (active(j) && j != i && !pairConsistent(sorted(j), sorted(i)))
+            ok = false
+          j += 1
+        }
+        if (ok) active(i) = true
+      }
+      active
+    }
+    def objective(a: Array[Boolean]): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { if (a(i)) s += sorted(i).score; i += 1 }
+      s
+    }
+    var best = enable(0 until n) // pass 1: greedy in fillOrdering order
+    var bestObj = objective(best)
+    val rand = new scala.util.Random(42)
+    var r = 0
+    while (r < mixingTime) {
+      val cand = enable(rand.shuffle((0 until n).toList))
+      val obj = objective(cand)
+      if (obj > bestObj) { bestObj = obj; best = cand }
+      r += 1
+    }
+    val kept = (0 until n).iterator.filter(best).map(sorted).toSeq
+    // X17 is existential, not pairwise — applies to whichever set won
+    val hasDod = kept.exists(_.pred == "per:date_of_death")
+    kept.filter(f => !deathLocPreds.contains(f.pred) || hasDod)
+  }
+
   /** (family index, role) per geo pred; roles: 0=city, 1=region, 2=country. */
   private val geoFamilies: Seq[(String, String, String)] = Seq(
     ("per:city_of_birth", "per:stateorprovince_of_birth",

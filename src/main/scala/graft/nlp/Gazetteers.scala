@@ -262,12 +262,37 @@ object Gazetteers {
     "org:alternate_names" -> Seq("also known as", "known as", "formerly"),
     "org:website" -> Seq("website", "site", "online at", "visit"))
 
-  /** Tiny deterministic word->cluster map (stand-in for the stripped
-   *  egw4-reut.512.clusters blob — process/FeatureFactory.java:65-78):
-   *  cluster id = stable hash bucket of the lowercased word. */
+  /** S6 word clusters (process/FeatureFactory.java:65-78, the
+   *  `word<TAB>cluster` egw4-reut.512.clusters format; the reference's
+   *  blob is stripped from its checkout). The committed resource is a
+   *  Brown-cluster-style file over ~1.5k common English words grouped by
+   *  the classic Brown syntactico-semantic classes (function-word classes,
+   *  months/days, titles, name classes, verb classes), so
+   *  `between_cluster=`/`adjacent_clusters` features generalize across
+   *  words of one class instead of memorizing surfaces. Dimension data:
+   *  loaded once per JVM, closed over by the featurizer (broadcast-sized,
+   *  never shuffled). */
+  lazy val wordClusterFile: Map[String, String] =
+    Option(getClass.getResourceAsStream("/graft/word_clusters.tsv"))
+      .map { in =>
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).map { l =>
+          val t = l.split("\t", 2); t(0) -> t(1)
+        }.toMap
+        finally src.close()
+      }.getOrElse(Map.empty)
+
+  /** word -> cluster id: committed cluster file first; out-of-vocabulary
+   *  words fall back to a stable hash bucket (the synthetic default that
+   *  shipped before the file existed — keeps the feature total, never
+   *  null). */
   def wordCluster(w: String): String = {
-    var h = 1125899906842597L
     val s = w.toLowerCase
+    wordClusterFile.getOrElse(s, hashCluster(s))
+  }
+
+  private def hashCluster(s: String): String = {
+    var h = 1125899906842597L
     var i = 0
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
     "c" + java.lang.Long.toUnsignedString(((h % 512) + 512) % 512)

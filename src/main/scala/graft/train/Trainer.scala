@@ -152,6 +152,16 @@ object Trainer {
     out
   }
 
+  /** Inference view of a freshly-trained LRModel (sparse IntMap weights) —
+   *  what the frozen-TSV loader would produce, without the round-trip;
+   *  the ensemble's per-component classify (Classifiers.classifyWith)
+   *  consumes these. */
+  def toFrozen(m: LRModel): FrozenLR = {
+    val ws = scala.collection.immutable.IntMap.newBuilder[Double]
+    m.coefficients.foreachActive((i, w) => if (w != 0.0) ws += (i -> w))
+    FrozenLR(m.intercept, m.threshold, ws.result())
+  }
+
   /** K3 model serialization: weights as a parquet table (rel, idx, w) —
    *  loadable into a broadcast map on any cluster (replaces the
    *  reference's Java serialization, classify/RelationClassifier.java:94-107). */

@@ -45,6 +45,46 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.head.subj == "A" && math.abs(out.head.score - 0.7) < 1e-9)
   }
 
+  test("C6 subagging deals disjoint covering samples; trained components " +
+       "ensemble-classify via AGREE_MOST") {
+    import graft.train.Trainer
+    val rows = (0 until 60).map { i =>
+      if (i % 2 == 0)
+        (s"P$i", s"engineer$i", "per:title",
+          Seq("trigger=per:title", "arg2type=TITLE"))
+      else
+        (s"P$i", s"v$i", "_NR", Seq("between_uni=met", "arg2type=TITLE"))
+    }
+    val labeled = rows.toDF("subj", "obj", "label", "features")
+    // SUBAGGING: disjoint, covering, non-degenerate partition of the bags
+    val samples = Classifiers.subagSamples(labeled, 3)
+    val keys = samples.map(
+      _.select("subj", "obj").as[(String, String)].collect().toSet)
+    assert(keys.map(_.size).sum == 60 && keys.forall(_.nonEmpty))
+    for (a <- keys.indices; b <- keys.indices if a < b)
+      assert((keys(a) & keys(b)).isEmpty)
+    // BAGGING: with-replacement resample at the original expected size
+    val bags = Classifiers.bagSamples(labeled, 2, seed = 3L)
+    assert(bags.forall { b => val n = b.count(); n > 20 && n < 120 })
+    // two subag-trained components agree on the separable trigger and the
+    // AGREE_MOST combination keeps exactly the agreed fill
+    val models = Classifiers.subagSamples(labeled, 2, seed = 7L).map { s =>
+      Trainer.trainOneVsAll(spark, s, Seq("per:title"))
+        .map { case (r, m) => r -> Trainer.toFrozen(m) }
+    }
+    val cands = Seq(
+      Candidate("Ann Lee", NER.PERSON, "engineer", "engineer", NER.TITLE,
+        "u", "d", 0, 0, 2, 4, 5,
+        Seq("trigger=per:title", "arg2type=TITLE"), Nil),
+      Candidate("Bob Ray", NER.PERSON, "lawyer", "lawyer", NER.TITLE,
+        "u", "d", 0, 0, 2, 4, 5,
+        Seq("between_uni=met", "arg2type=TITLE"), Nil)).toDS()
+    val out = Classifiers.ensemble(spark,
+      models.map(m => Classifiers.classifyWith(spark, cands, m))).collect()
+    assert(out.exists(f => f.subj == "Ann Lee" && f.pred == "per:title"))
+    assert(!out.exists(_.subj == "Bob Ray"))
+  }
+
   test("C4 perceptron learns a separable trigger; C3 at-least-once bags") {
     import graft.classify.Perceptron
     val rels = Seq("per:title")
@@ -154,6 +194,46 @@ class ClassifySpec extends AnyFunSuite {
       val c = loaded.predictBag(feats)
       a.foreach { case (r, p) => assert(math.abs(c(r) - p) < 1e-9) }
     }
+  }
+
+  test("C2 Min et al. 2013 relabeling promotes incomplete-KB bags") {
+    import graft.classify.MimlEm
+    import MimlEm.{MimlBag, MimlSentence}
+    val r = "per:title"
+    var bagId = -1L
+    val sents = scala.collection.mutable.ArrayBuffer[MimlSentence]()
+    val bags = scala.collection.mutable.ArrayBuffer[MimlBag]()
+    def bag(labels: Seq[String], feats: Seq[Seq[String]]): Unit = {
+      bagId += 1
+      bags += MimlBag(bagId, labels)
+      feats.foreach(f => sents += MimlSentence(bagId, f))
+    }
+    // 4 KB-positive bags + 1 bag with the SAME evidence but a missing KB
+    // entry (the incomplete-KB case) + 3 true negatives
+    (0 until 4).foreach(_ => bag(Seq(r), Seq(Seq("sig=t"), Seq("sig=t"))))
+    bag(Nil, Seq(Seq("sig=t"), Seq("sig=t")))
+    (0 until 3).foreach(_ => bag(Nil, Seq(Seq("w=noise"), Seq("w=noise"))))
+    val sds = sents.toSeq.toDS()
+    val bds = bags.toSeq.toDS()
+    // theta = 5/8: expected positives = 0.625*8*1 = 5, KB has 4 -> promote
+    // exactly the top-1 unknown, which must be the incomplete-KB bag
+    val plain = MimlEm.train(spark, sds, bds, Seq(r), epochs = 2)
+    val relab = MimlEm.train(spark, sds, bds, Seq(r), epochs = 2,
+      unlabeledTheta = Some(0.625))
+    val evidence = Seq(Seq("sig=t"), Seq("sig=t"))
+    val pPlain = plain.predictBag(evidence)(r)
+    val pRelab = relab.predictBag(evidence)(r)
+    info(f"p(r|evidence): plain=$pPlain%.3f relabeled=$pRelab%.3f")
+    // treating the unlabeled bag as negative drags the y classifier down;
+    // promoting it restores a confident positive
+    assert(pRelab > pPlain, s"relabeled $pRelab not above plain $pPlain")
+    assert(pRelab > 0.5, s"relabeled model not positive on the evidence")
+    // noise bags stay negative under the relabeled model
+    assert(relab.predictBag(Seq(Seq("w=noise"), Seq("w=noise")))(r) < 0.5)
+    // theta at the KB rate -> numberToChange <= 0 -> identical to plain EM
+    val zero = MimlEm.train(spark, sds, bds, Seq(r), epochs = 2,
+      unlabeledTheta = Some(0.5))
+    assert(zero.yWeights == plain.yWeights)
   }
 
   test("C2 shipped MIML model loads and is reachable at inference") {

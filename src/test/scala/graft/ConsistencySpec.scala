@@ -209,4 +209,25 @@ class ConsistencySpec extends AnyFunSuite {
     val once = Consistency.entityPass(fills)
     assert(Consistency.entityPass(once) == once)
   }
+
+  test("Gibbs SUM variant escapes the greedy local optimum; agrees with " +
+       "greedy when greedy is optimal") {
+    // A (0.9) X16-clashes with BOTH B and C (same obj, implausible pred
+    // overlap); B and C are mutually plausible. Greedy (score order)
+    // keeps only A (sum 0.9); the SUM objective prefers {B, C} (1.2).
+    val o = "Acme Corp"
+    val a = f("A", "per:origin", o, 0.9)
+    val b = f("A", "per:spouse", o, 0.6)
+    val c = f("A", "per:stateorprovince_of_birth", o, 0.6)
+    assert(Consistency.entityPass(Seq(a, b, c)).toSet == Set(a))
+    val gibbs = Consistency.entityPassGibbs(Seq(a, b, c), mixingTime = 20)
+    assert(gibbs.toSet == Set(b, c))
+    // when greedy is already optimal, the variant returns the same set
+    // (the greedy assignment seeds the argmax)
+    val fills = Seq(
+      f("A", "per:city_of_birth", "Paris", 0.9),
+      f("A", "per:title", "engineer", 0.8, objType = NER.TITLE))
+    assert(Consistency.entityPassGibbs(fills).toSet ==
+      Consistency.entityPass(fills).toSet)
+  }
 }

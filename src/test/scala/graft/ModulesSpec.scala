@@ -153,6 +153,30 @@ class ModulesSpec extends AnyFunSuite {
     assert(names == Set("John", "Mary"))
   }
 
+  test("S6 committed word-cluster file loads; featurizer consults it with " +
+       "a hash fallback for OOV") {
+    import graft.nlp.Gazetteers
+    import graft.sources.GazetteerFiles
+    // the committed resource parses through the S6 file reader too
+    val committed = GazetteerFiles.wordClusters(spark,
+      "src/main/resources/graft/word_clusters.tsv")
+    assert(committed.size > 1000)
+    assert(committed == Gazetteers.wordClusterFile)
+    // semantically-coherent classes: months share a cluster, and it is not
+    // the titles cluster
+    assert(Gazetteers.wordCluster("january") ==
+      Gazetteers.wordCluster("march"))
+    assert(Gazetteers.wordCluster("engineer") ==
+      Gazetteers.wordCluster("lawyer"))
+    assert(Gazetteers.wordCluster("january") !=
+      Gazetteers.wordCluster("engineer"))
+    // case-folded lookup; OOV words take the deterministic hash bucket
+    assert(Gazetteers.wordCluster("January") ==
+      Gazetteers.wordCluster("january"))
+    val oov = Gazetteers.wordCluster("zzxqvw")
+    assert(oov.startsWith("c") && oov == Gazetteers.wordCluster("zzxqvw"))
+  }
+
   test("Trainer: A5 alternate-value forms for known-slot matching") {
     import graft.train.Trainer
     assert(Trainer.alternateValues("1985-03-02").contains("1985-XX-XX"))

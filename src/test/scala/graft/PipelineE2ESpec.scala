@@ -108,7 +108,10 @@ class PipelineE2ESpec extends AnyFunSuite {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(rows.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val golden = "bbe52ef2fe11b5255f2d7ba9ae0a40e9" // n=633, round 3
+    // n=633 since round 3 (the triple SET is stable); hash updated round 4
+    // when the models were REFROZEN against the committed S6 word-cluster
+    // file (scores moved, set membership and both P/R gates unchanged)
+    val golden = "3300571c32146ee74a8b62125c69db98"
     assert(h == golden,
       s"triple-set hash $h (n=${rows.length}) != committed golden $golden")
   }
