@@ -76,22 +76,36 @@ object SparkEntry {
     }),
     "q03_argmax" -> q((s, d) => {
       import s.implicits._
-      // X15 argmax-per-group with deterministic tiebreak
-      val w = Window.partitionBy($"l_orderkey")
-        .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
-      t(s, d, "lineitem").withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"l_orderkey", $"l_partkey", $"l_linenumber",
-          cents($"l_extendedprice").as("price_cents"))
+      // X15 argmax-per-group with deterministic tiebreak — a hash
+      // aggregate over an ordering-encoded struct (price desc, then
+      // linenumber asc via negation), NOT a rank-filter window: no global
+      // sort of the fact table (same round-4 plan shape as q02).
+      // l_linenumber is unique within an order, so the struct ordering is
+      // total and the argmax deterministic.
+      t(s, d, "lineitem")
+        .select($"l_orderkey", struct($"l_extendedprice",
+            (-$"l_linenumber").as("nln"), $"l_partkey", $"l_linenumber",
+            cents($"l_extendedprice").as("price_cents")).as("it"))
+        .groupBy($"l_orderkey").agg(max($"it").as("m"))
+        .select($"l_orderkey", $"m.l_partkey".as("l_partkey"),
+          $"m.l_linenumber".as("l_linenumber"),
+          $"m.price_cents".as("price_cents"))
         .orderBy($"l_orderkey")
     }),
     "q04_topk" -> q((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey")
-        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      t(s, d, "orders").withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select($"o_custkey", $"o_orderkey", $"rn")
+      // T4 top-k per group without a global sort: collect_list →
+      // array_sort → slice → posexplode (a customer's order list is
+      // small); the rank column is the post-slice position. The window
+      // version sorted the whole orders table by a 3-column key.
+      t(s, d, "orders")
+        .select($"o_custkey", struct((-$"o_totalprice").as("ntp"),
+          $"o_orderkey").as("it"))
+        .groupBy($"o_custkey")
+        .agg(slice(array_sort(collect_list($"it")), 1, 3).as("top"))
+        .select($"o_custkey", posexplode($"top"))
+        .select($"o_custkey", $"col.o_orderkey".as("o_orderkey"),
+          ($"pos" + 1).cast("int").as("rn"))
         .orderBy($"o_custkey", $"rn")
     }),
     "q05_star_join" -> q((s, d) => {
@@ -239,15 +253,32 @@ object SparkEntry {
       // MinHash+LSH near-dup: 8 md5 minhashes -> 2 bands -> bucket equi-join
       // (union of per-band equi-joins = the OR-of-bands LSH candidate set;
       // at scale each band join is a shuffle on the band key, never all-pairs)
+      // NO distinct before the min-agg: min() is idempotent over duplicate
+      // words, so deduping first would only add a full extra shuffle of the
+      // exploded corpus (the oracle's DISTINCT is there for SQL clarity —
+      // same minima either way)
+      // 4 md5 calls per word, not 8: one 128-bit md5 yields TWO
+      // independent 64-bit minhash functions (its hex halves — the
+      // halves of a cryptographic hash are independently uniform), and
+      // the halves are projected BEFORE the aggregate so each md5 is
+      // evaluated once. The md5 family (not xxhash64) is deliberate:
+      // DuckDB recomputes the identical fingerprint for the oracle.
       val w = t(s, d, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .distinct()
-      val hs = (0 until 8).map(k =>
-        min(md5(concat(lit(k.toString), $"word"))).as(s"h$k"))
+        .select($"doc_id" +: (0 until 4).map(k =>
+          md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
+        .select($"doc_id" +: (0 until 8).map(k =>
+          substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
+      val hs = (0 until 8).map(k => min(col(s"p$k")).as(s"h$k"))
       val m = w.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+      // materialize the signature table once: it feeds BOTH sides of BOTH
+      // band joins, and without the checkpoint Spark recomputes the whole
+      // explode+minhash subtree for each use (at scale you'd persist the
+      // signatures the same way)
       val b = m.select($"doc_id",
         md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
         md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
+        .localCheckpoint(true)
       val j1 = b.as("x").join(b.as("y"),
           $"x.b1" === $"y.b1" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
@@ -459,13 +490,15 @@ object SparkEntry {
          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
          ORDER BY d1, d2""",
     "q19_docs_minhash_lsh" ->
-      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         hm AS (SELECT doc_id, md5('0'||word) AS m0, md5('1'||word) AS m1,
+                       md5('2'||word) AS m2, md5('3'||word) AS m3 FROM w),
          m AS (SELECT doc_id,
-           min(md5('0'||word)) AS h0, min(md5('1'||word)) AS h1,
-           min(md5('2'||word)) AS h2, min(md5('3'||word)) AS h3,
-           min(md5('4'||word)) AS h4, min(md5('5'||word)) AS h5,
-           min(md5('6'||word)) AS h6, min(md5('7'||word)) AS h7
-           FROM w GROUP BY 1),
+           min(substr(m0, 1, 16)) AS h0, min(substr(m0, 17, 16)) AS h1,
+           min(substr(m1, 1, 16)) AS h2, min(substr(m1, 17, 16)) AS h3,
+           min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
+           min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
+           FROM hm GROUP BY 1),
          b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m)
          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          FROM b x JOIN b y ON x.doc_id < y.doc_id AND (x.b1 = y.b1 OR x.b2 = y.b2)

@@ -258,16 +258,23 @@ object MimlEm {
    *  only — the reference's BoundedPriorityQueue becomes a distributed
    *  orderBy+limit (TakeOrdered — never a full sort at scale). Unpromoted
    *  unknowns count as negatives, which is already inferBag's treatment
-   *  of non-positive labels. */
+   *  of non-positive labels.
+   *
+   *  `modelFor` selects the scoring model per bag: the shared-z path
+   *  passes the one model; the fold path passes each bag's OWN fold
+   *  classifier — exactly the reference's zSingleClassifier-null branch
+   *  (`computeYLogProbs(zClassifiers[fold], group, ...)`,
+   *  JointBayesRelationExtractor.java:623-637). */
   private def promoteUnknowns(spark: SparkSession, rows: Dataset[BagRow],
-                              model: Model, rels: Seq[String],
+                              modelFor: Long => Model, rels: Seq[String],
                               theta: Double, nBags: Long, nPos: Long)
       : Dataset[BagRow] = {
     import spark.implicits._
     val k = (theta * nBags * rels.size).toInt - nPos.toInt
     if (k <= 0) return rows // target already reached — no relabeling
-    val m = model
+    val mf = modelFor
     val top = rows.flatMap { b =>
+        val m = mf(b.bag_id)
         val zs = b.sents.map(s => m.zArgmax(s))
         rels.filterNot(b.pos_labels.contains)
           .map(r => (b.bag_id, r, m.yProb(r, zs)))
@@ -298,10 +305,13 @@ object MimlEm {
    *  model). folds = 1 keeps the shared-z toy shape.
    *
    *  unlabeledTheta enables the Min et al. 2013 semi-supervised
-   *  relabeling (promoteUnknowns above) on the shared-z path from epoch 1
-   *  on, mirroring the reference's zSingleClassifier branch (its
-   *  Props.TRAIN_UNLABELED default is off, like this parameter; the
-   *  per-fold scoring branch is not ported — fold-EM keeps KB labels). */
+   *  relabeling (promoteUnknowns above) from epoch 1 on, on BOTH paths
+   *  (its Props.TRAIN_UNLABELED default is off, like this parameter):
+   *  the shared-z path scores unknowns with the one model (the
+   *  reference's zSingleClassifier branch), the fold path with each
+   *  bag's own fold classifier from the previous epoch's sweep
+   *  (JointBayesRelationExtractor.java:623-637) — original KB labels
+   *  restored each epoch, promotions never accumulate. */
   def train(spark: SparkSession, sents: Dataset[MimlSentence],
             bags: Dataset[MimlBag], rels: Seq[String], epochs: Int = 2,
             numFeatures: Int = graft.train.Trainer.NumFeatures,
@@ -332,7 +342,8 @@ object MimlEm {
       while (e < epochs) {
         val rowsE = unlabeledTheta match {
           case Some(theta) if e > 0 =>
-            promoteUnknowns(spark, rows, model, rels, theta, nBags, nPos)
+            val m = model
+            promoteUnknowns(spark, rows, _ => m, rels, theta, nBags, nPos)
           case _ => rows
         }
         val inferred = eStep(rowsE, model).persist()
@@ -348,26 +359,59 @@ object MimlEm {
       model
     } else {
       // working state: per-bag current assignment, init = local
+      // working state is localCheckpoint'ed (eager), not just persisted:
+      // 8 epochs x 3 folds chain ~50 map/join layers onto the same
+      // lineage, and an un-truncated iterative plan grows until analysis
+      // itself fails (the 8-epoch freeze died printing its own plan
+      // tree) — same pattern as GraphOps' per-round truncation
       var cur = rows.map { b =>
         val z = b.pos_labels.sorted.headOption.getOrElse(NilLabel)
         AssignedBag(b.bag_id, b.pos_labels, b.sents, b.sents.map(_ => z))
-      }.persist()
-      cur.count()
+      }.localCheckpoint(true)
+      // per-fold z weights kept across epochs (the reference's
+      // zClassifiers[] array) — the incomplete-KB relabeling scores each
+      // bag with its own fold's classifier from the previous sweep
+      val foldZ = new Array[(Map[String, Double], Map[String, scala.collection.immutable.IntMap[Double]])](folds)
+      lazy val nBags = rows.count()
+      lazy val nPos = rows.map(_.pos_labels.size.toLong).reduce(_ + _)
       var e = 0
-      while (e < epochs) {
+      var converged = false
+      while (e < epochs && !converged) {
+        unlabeledTheta match {
+          case Some(theta) if e > 0 =>
+            // restore ORIGINAL KB labels, then promote the global top-k
+            // unknowns scored by each bag's own fold classifier (with the
+            // CURRENT y weights — the y update ran after last sweep)
+            val nf = folds
+            val yw = model.yWeights
+            val fm = foldZ.toSeq.map { case (zi, zw) =>
+              Model(rels, zi, zw, yw, numFeatures) }
+            val relabeled = promoteUnknowns(spark, rows,
+              id => fm((id % nf).toInt), rels, theta, nBags, nPos)
+            val next = cur.toDF().drop("pos_labels")
+              .join(relabeled.toDF().select($"bag_id", $"pos_labels"), "bag_id")
+              .select($"bag_id", $"pos_labels", $"sents", $"zs")
+              .as[AssignedBag].localCheckpoint(true)
+            cur.unpersist()
+            cur = next
+          case _ =>
+        }
+        // epoch-start snapshot of the z assignments, for the convergence
+        // check (a (bag_id, zs) projection — small rows, one join below)
+        val prevZs = cur.map(b => (b.bag_id, b.zs)).persist()
         var f = 0
         while (f < folds) {
           // fold-f z classifier: fit on the OTHER folds' assignments
           val zr = cur.filter(_.bag_id % folds != f)
             .flatMap(b => b.sents.zip(b.zs))
           val (zi, zw) = fitZ(spark, zr, zLabels, numFeatures)
+          foldZ(f) = (zi, zw)
           val foldModel = Model(rels, zi, zw, model.yWeights, numFeatures)
           // E-step for fold f only; other folds' assignments unchanged
           val next = cur.map { b =>
             if (b.bag_id % folds != f) b
             else b.copy(zs = inferBag(foldModel, b.pos_labels, b.sents))
-          }.persist()
-          next.count()
+          }.localCheckpoint(true)
           cur.unpersist()
           cur = next
           f += 1
@@ -376,6 +420,24 @@ object MimlEm {
         // reference's y update after its fold sweep)
         val yw = fitY(spark, cur.map(b => (b.pos_labels, b.zs)), rels)
         model = model.copy(yWeights = yw)
+        // EM fixpoint — the reference's own early stop
+        // ("Stopping training. Did not find any changes in the Z
+        // labels!", JointBayesRelationExtractor.java:699-703,
+        // zUpdatesInOneEpoch == 0): a full epoch that changed no bag's z
+        // assignment cannot change any later epoch either (the z/y fits
+        // and the relabeling are deterministic functions of the
+        // assignments). Lets the production epoch count (8, Props
+        // train.jointbayes.epochs) be configured honestly: the trainer
+        // runs until the reference's budget OR the fixpoint, whichever
+        // comes first.
+        val changed = cur.map(b => (b.bag_id, b.zs)).toDF("bid", "now")
+          .join(prevZs.toDF("bid", "prev"), "bid")
+          .where(col("now") =!= col("prev")).count()
+        prevZs.unpersist()
+        // a zero-change epoch 0 must NOT stop a relabeling run: the
+        // relabeling only fires from epoch 1, so the fixpoint is only
+        // genuine once an epoch has run WITH it
+        converged = changed == 0L && (unlabeledTheta.isEmpty || e > 0)
         e += 1
       }
       // final single z classifier over all inferred labels — the

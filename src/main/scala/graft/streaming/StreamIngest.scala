@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.model.{Page, SlotFill}
 import graft.pipeline.KGPipeline
 import graft.io.TableIO
@@ -47,5 +48,60 @@ object StreamIngest {
     val linked = KGPipeline.symmetricExpand(spark,
       KGPipeline.linked(spark, bags))
     KGPipeline.consistentTriples(spark, linked)
+  }
+
+  /** Recrawl suppression with BOUNDED state: exact-content dedup keyed on
+   *  md5(text), event-time-watermarked on warc_ts. The state store keeps
+   *  one key per distinct page inside the watermark horizon and evicts it
+   *  once the watermark passes — at crawl scale (10^12 docs) state is a
+   *  function of the horizon, never of crawl history. A re-fetch of the
+   *  same content (mirror URL, recrawl) inside the horizon is dropped
+   *  before it reaches the (expensive) NLP stage. */
+  def dedupPagesStream(pages: Dataset[Page],
+                       watermark: String = "1 hour"): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    pages.toDF()
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+      .drop("content_key")
+      .as[Page]
+  }
+
+  /** Streaming state for one (subj, pred, obj): the running log-complement
+   *  of the noisy-or over every provenance seen so far (order-independent,
+   *  so arrival order across micro-batches cannot change the result). */
+  final case class TripleState(logComp: Double, nProv: Long)
+
+  /** One incremental merged-confidence update emitted per micro-batch in
+   *  which the triple gained provenances. */
+  final case class TripleUpdate(subj: String, pred: String, obj: String,
+                                score: Double, n_prov: Long)
+
+  /** Incremental noisy-or merge — the streaming analogue of
+   *  `BagAgg.aggregate(NoisyOr)`: per-(subj, pred, obj) state via
+   *  flatMapGroupsWithState holds only the running log-complement (two
+   *  numbers per live triple, never the provenance list), and each
+   *  micro-batch emits the updated merged score for the triples it
+   *  touched (OutputMode.Update). Identical math to the batch combinator:
+   *  score = 1 - exp(sum(log1p(-min(s, 1)))), so the final update equals
+   *  the batch noisy-or over all fills (StreamingSpec asserts it). */
+  def noisyOrStream(fills: Dataset[SlotFill]): Dataset[TripleUpdate] = {
+    import fills.sparkSession.implicits._
+    fills.groupByKey(f => (f.subj, f.pred, f.obj))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: (String, String, String), it: Iterator[SlotFill],
+         state: GroupState[TripleState]) => {
+          val prior = state.getOption.getOrElse(TripleState(0.0, 0L))
+          var lc = prior.logComp
+          var n = prior.nProv
+          it.foreach { f =>
+            lc += math.log1p(-math.min(f.score, 1.0))
+            n += 1L
+          }
+          state.update(TripleState(lc, n))
+          Iterator.single(TripleUpdate(key._1, key._2, key._3,
+            math.min(1.0 - math.exp(lc), 1.0), n))
+        })
   }
 }

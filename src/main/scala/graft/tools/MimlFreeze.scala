@@ -9,8 +9,10 @@ import graft.model.Relations
  *  analogue) on the SAME synthetic distant supervision TrainFreeze uses,
  *  and freeze the z weights beside the one-vs-all LR resource. Bags =
  *  (subj, obj) candidate groups; positive labels from the PageGen gold KB
- *  join; 2 toy epochs (the reference's production config is 8 epochs x 3
- *  folds — Props train.jointbayes.*). */
+ *  join; the reference's PRODUCTION config — 8 epochs x 3 folds (Props
+ *  train.jointbayes.*) — with the trainer's EM-fixpoint early stop (a
+ *  full epoch that changes no z assignment ends training; the toy
+ *  corpus typically fixpoints after 2-3 epochs). */
 object MimlFreeze {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 200
@@ -49,10 +51,10 @@ object MimlFreeze {
       .select($"label").distinct().as[String].collect().toSeq.sorted
     // 2^16 hashed z space: the 42-class multinomial fit is the freeze's
     // dominant cost and the toy corpus has ~10^4 distinct features.
-    // folds = 3 is the reference's cross-validated EM structure (its
-    // production config is 8 epochs x 3 folds; 2 epochs keep the freeze
-    // tractable at toy scale)
-    val model = MimlEm.train(spark, mimlSents, bags, rels, epochs = 2,
+    // 8 epochs x 3 folds = the reference's production config; the
+    // trainer's convergence check stops at the EM fixpoint, keeping the
+    // freeze tractable at toy scale
+    val model = MimlEm.train(spark, mimlSents, bags, rels, epochs = 8,
       numFeatures = 1 << 16, folds = 3)
     MimlEm.saveTsv(model, out)
     println(s"[miml] trained ${rels.size} relations over " +

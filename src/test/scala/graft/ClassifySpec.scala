@@ -234,6 +234,16 @@ class ClassifySpec extends AnyFunSuite {
     val zero = MimlEm.train(spark, sds, bds, Seq(r), epochs = 2,
       unlabeledTheta = Some(0.5))
     assert(zero.yWeights == plain.yWeights)
+    // fold path: the relabeling also runs inside the cross-validated EM,
+    // scoring each bag with its OWN fold classifier (the reference's
+    // zSingleClassifier-null branch, JointBayesRelationExtractor.java:
+    // 623-637) — same promotion outcome on the fixture
+    val relabFold = MimlEm.train(spark, sds, bds, Seq(r), epochs = 2,
+      folds = 3, unlabeledTheta = Some(0.625))
+    val pFold = relabFold.predictBag(evidence)(r)
+    info(f"fold-path relabeled p(r|evidence)=$pFold%.3f")
+    assert(pFold > 0.5, s"fold-path relabeled model not positive ($pFold)")
+    assert(relabFold.predictBag(Seq(Seq("w=noise"), Seq("w=noise")))(r) < 0.5)
   }
 
   test("C2 shipped MIML model loads and is reachable at inference") {

@@ -33,4 +33,78 @@ class StreamingSpec extends AnyFunSuite {
       .map(t => (t.subj, t.pred, t.obj)).toSet
     assert(streamed == batch)
   }
+
+  test("watermarked recrawl dedup keeps one page per distinct content") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def page(url: String, text: String) =
+      graft.model.Page(url, ts, Array.emptyByteArray, text, "en")
+    // 3 distinct contents across 5 fetches (mirror URLs / recrawls)
+    val pages = Seq(
+      page("http://a/1", "alpha body"), page("http://a/1b", "alpha body"),
+      page("http://b/2", "beta body"), page("http://b/2b", "beta body"),
+      page("http://c/3", "gamma body"))
+    val inDir = s"$root/in"
+    spark.createDataset(pages).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(spark.createDataset(pages).schema)
+      .parquet(inDir).as[graft.model.Page]
+    val q = StreamIngest.dedupPagesStream(stream).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/_ck")
+      .format("parquet").option("path", s"$root/out").start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/out").as[graft.model.Page].collect()
+    assert(out.length == 3, s"expected 3 deduped pages, got ${out.length}")
+    assert(out.map(_.text).toSet ==
+      Set("alpha body", "beta body", "gamma body"))
+  }
+
+  test("incremental noisy-or state equals the batch combinator") {
+    import graft.model.{Provenance, SlotFill}
+    val root = java.nio.file.Files.createTempDirectory("graft-noisyor").toString
+    def fill(subj: String, obj: String, score: Double, doc: String) =
+      SlotFill(subj, "PERSON", "per:title", obj, "TITLE", score,
+        Provenance(doc, s"http://$doc", 0, 0, 1, 2, 3))
+    val batch1 = Seq(fill("s1", "ceo", 0.6, "d1"), fill("s1", "ceo", 0.5, "d2"),
+      fill("s2", "cfo", 0.9, "d3"))
+    val batch2 = Seq(fill("s1", "ceo", 0.8, "d4"), fill("s3", "coo", 0.4, "d5"))
+    val inDir = s"$root/in"
+    val updates = scala.collection.mutable.ArrayBuffer
+      .empty[StreamIngest.TripleUpdate]
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(batch1).schema)
+        .parquet(inDir).as[SlotFill]
+      val q = StreamIngest.noisyOrStream(stream).writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ck")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamIngest.TripleUpdate], _: Long) =>
+          updates.synchronized { updates ++= df.collect() }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    spark.createDataset(batch1).write.mode("append").parquet(inDir)
+    drain()
+    spark.createDataset(batch2).write.mode("append").parquet(inDir)
+    drain()
+    // the LAST update per key is the final streaming state
+    val last = updates.zipWithIndex
+      .groupBy { case (u, _) => (u.subj, u.pred, u.obj) }
+      .map { case (k, us) => k -> us.maxBy(_._2)._1 }
+    // s1 got fills in both micro-batches -> two updates, monotone n_prov
+    assert(last(("s1", "per:title", "ceo")).n_prov == 3L)
+    // batch combinator over ALL fills is the ground truth
+    val expect = graft.extract.BagAgg.aggregate(spark,
+        spark.createDataset(batch1 ++ batch2)).collect()
+      .map(f => (f.subj, f.pred, f.obj) -> f.score).toMap
+    expect.foreach { case (k, s) =>
+      val u = last(k)
+      assert(math.abs(u.score - s) < 1e-9,
+        s"$k streaming ${u.score} != batch $s")
+    }
+  }
 }
