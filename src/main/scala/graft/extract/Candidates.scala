@@ -12,9 +12,11 @@ import graft.nlp.Gazetteers
  * candidate; pairs deduped per sentence on (entity, slotValue)
  * (`extractedPairs`, :109,176-183). Featurization = the surface families of
  * FeatureFactory.createDatum (process/FeatureFactory.java:98-613) with
- * doNotLexicalizeFirstArgument=true (process/KBPProcess.java:64); parse/
- * dependency families are out of scope (SURVEY.md §7 risk note) — C1 weights
- * are ours, so the feature basis is internal.
+ * doNotLexicalizeFirstArgument=true (process/KBPProcess.java:64), PLUS the
+ * dependency families (FeatureFactory.java:654-760) over the deterministic
+ * lite arc layer (nlp/DepLite.scala — no statistical parser in-sandbox;
+ * the FAMILY semantics are the reference's, the arcs a POS-rule
+ * approximation) — C1 weights are ours, so the feature basis is internal.
  *
  * Pure per-sentence function — runs in the same mapPartitions as the NLP
  * stage; no shuffle until bag aggregation.
@@ -48,6 +50,9 @@ object Candidates {
     val toks = s.tokens.toIndexedSeq
     val words = toks.map(_.word)
     val ners = toks.map(_.ner)
+    // one deterministic arc pass per sentence; every pair's dependency
+    // features walk the same forest
+    val arcs = graft.nlp.DepLite.parse(toks)
 
     val out = Seq.newBuilder[Candidate]
     val seen = scala.collection.mutable.HashSet[(String, String)]()
@@ -84,6 +89,8 @@ object Candidates {
               features = featurize(ent.ner, slot.ner, entFirst, dist,
                 between, words, ners, ent.b, ent.e, slot.b, slot.e,
                 corefSlot = slot.normalized != slot.surface) ++
+                graft.nlp.DepLite.pathFeatures(toks, arcs,
+                  ent.b, ent.e, slot.b, slot.e) ++
                 triggerHits.map(rel => s"trigger=$rel") ++
                 ruleHits.map(rel => s"rule=$rel"),
               between = betweenLc.toSeq)

@@ -98,6 +98,41 @@ object Mentions {
       i += 1
     }
 
+    // A4 MODIFIER pass (SlotMentionAnnotator.java:172-243,
+    // findConditionalNamedEntities/findModifiers): inside the NP that
+    // contains an entity mention, the run of common-noun (NN*, NER=O)
+    // tokens before the mention start is retagged MODIFIER and becomes a
+    // slot candidate — "cofounder Jane Roe" yields MODIFIER "cofounder"
+    // even when the noun is in no title gazetteer. The reference walks
+    // the parse tree for the NP; with no parser in-sandbox the NP is the
+    // containing noun-run chunk (the X9 approximation). The ontology
+    // already admits MODIFIER for per:title (RelationType.java:42), so
+    // the candidate flows to the classifiers unchanged.
+    for (m <- ents) {
+      var npb = m.b
+      while (npb > 0 && {
+        val p = toks(npb - 1).pos
+        p == "DT" || p.startsWith("JJ") || p.startsWith("NN")
+      }) npb -= 1
+      var mb = -1
+      var me = -1
+      var k = npb
+      while (k < m.b && me == -1) {
+        val t = toks(k)
+        if (mb == -1 && t.pos.startsWith("NN") && t.ner == "O") mb = k
+        else if (mb >= 0 && (!t.pos.startsWith("NN") || t.ner != "O")) me = k
+        k += 1
+      }
+      if (mb >= 0) {
+        if (me == -1) me = m.b
+        if (me > mb && !overlapsEntity(mb, me)) {
+          val surface = (mb until me).map(toks(_).word).mkString(" ")
+          slots += Mention(s.url, s.doc_id, s.sent_idx, "slot", mb, me,
+            NER.MODIFIER, surface, surface)
+        }
+      }
+    }
+
     // maximal same-NER runs (all known tags), not overlapping entity spans
     i = 0
     while (i < n) {

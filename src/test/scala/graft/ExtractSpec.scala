@@ -18,6 +18,23 @@ class ExtractSpec extends AnyFunSuite {
     assert(slots.exists(m => m.ner == NER.DATE && m.normalized == "1980-03-03"))
   }
 
+  test("A4 MODIFIER pass: common-noun NP prefix of an entity becomes a slot") {
+    // "strategist" is in no title gazetteer (NER=O common noun), but it
+    // premodifies the PERSON mention inside one NP -> MODIFIER slot
+    // (SlotMentionAnnotator.java:172-243 findModifiers; like the
+    // reference, the run accepts any NN*-tagged NER=O token, so an
+    // untagged proper noun would join it)
+    val s = sentencesOf("The strategist John Smith resigned.").head
+    val Mentions.Spans(_, slots) = Mentions.extract(s)
+    val mods = slots.filter(_.ner == NER.MODIFIER)
+    assert(mods.exists(_.surface == "strategist"), slots.map(_.surface))
+    // a gazetteer TITLE stays TITLE — never double-emitted as MODIFIER
+    val t = sentencesOf("President John Smith resigned.").head
+    val Mentions.Spans(_, tslots) = Mentions.extract(t)
+    assert(!tslots.exists(m =>
+      m.ner == NER.MODIFIER && m.surface.equalsIgnoreCase("president")))
+  }
+
   test("B2 AlternateNamesExtractor: coref spans, frequency gate, subsidiary geo") {
     import graft.nlp.Annotator
     import graft.extract.AlternateNames
