@@ -250,13 +250,17 @@ object SparkEntry {
     }),
     "q19_docs_minhash_lsh" -> q((s, d) => {
       import s.implicits._
-      // MinHash+LSH near-dup: 8 md5 minhashes -> 2 bands -> bucket equi-join
-      // (union of per-band equi-joins = the OR-of-bands LSH candidate set;
-      // at scale each band join is a shuffle on the band key, never all-pairs)
+      // MinHash+LSH near-dup: 8 md5 minhashes -> 2 bands -> per-band STAR
+      // EDGES to each bucket's min-doc_id representative, NOT all pairs
+      // within the bucket. A degenerate bucket (this corpus: 2.3k of 5k
+      // docs share one band value; a template-heavy crawl does the same)
+      // makes within-bucket pairs quadratic — 4.4M pairs here, death at
+      // 100 TB — while star edges are LINEAR in bucket size and give the
+      // SAME connected components (every member links to the rep), which
+      // is what dedup consumes. No cap, no dropped docs.
       // NO distinct before the min-agg: min() is idempotent over duplicate
       // words, so deduping first would only add a full extra shuffle of the
-      // exploded corpus (the oracle's DISTINCT is there for SQL clarity —
-      // same minima either way)
+      // exploded corpus
       // 4 md5 calls per word, not 8: one 128-bit md5 yields TWO
       // independent 64-bit minhash functions (its hex halves — the
       // halves of a cryptographic hash are independently uniform), and
@@ -279,13 +283,16 @@ object SparkEntry {
         md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
         md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
         .localCheckpoint(true)
-      val j1 = b.as("x").join(b.as("y"),
-          $"x.b1" === $"y.b1" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-      val j2 = b.as("x").join(b.as("y"),
-          $"x.b2" === $"y.b2" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-      j1.union(j2).distinct().orderBy($"d1", $"d2")
+      // per band: bucket rep = min(doc_id); edge (rep, member) for every
+      // other member. The rep table is tiny (one row per bucket) — the
+      // join shuffles on the band key only
+      def starEdges(band: String) = {
+        val reps = b.groupBy(col(band)).agg(min($"doc_id").as("d1"))
+        b.join(reps, band).where($"doc_id" > $"d1")
+          .select($"d1", $"doc_id".as("d2"))
+      }
+      starEdges("b1").union(starEdges("b2"))
+        .distinct().orderBy($"d1", $"d2")
     }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
@@ -499,10 +506,13 @@ object SparkEntry {
            min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
            min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
            FROM hm GROUP BY 1),
-         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m)
-         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         FROM b x JOIN b y ON x.doc_id < y.doc_id AND (x.b1 = y.b1 OR x.b2 = y.b2)
-         ORDER BY d1, d2""",
+         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m),
+         r1 AS (SELECT b1 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         r2 AS (SELECT b2 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         e AS (SELECT r1.d1, b.doc_id AS d2 FROM b JOIN r1 ON b.b1 = r1.bucket WHERE b.doc_id > r1.d1
+               UNION
+               SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1)
+         SELECT DISTINCT d1, d2 FROM e ORDER BY d1, d2""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b
