@@ -80,4 +80,44 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b)
     }
   }
+
+  test("DepLite arcs are well-formed on arbitrary POS streams") {
+    import graft.model.Token
+    import graft.nlp.DepLite
+    val posGen = Gen.oneOf("NNP", "NN", "NNS", "VBD", "VB", "MD", "IN",
+      "TO", "DT", "JJ", "CD", "RB", "PRP", "POS", "CC", ",", "SYM")
+    val tokGen = for {
+      pos <- posGen
+      w <- Gen.oneOf("alpha", "beta", "gamma", "x", "of", "in", "the")
+    } yield Token(w, w, 0, 0, pos, "O", "", "")
+    samples(Gen.nonEmptyListOf(tokGen), n = 200).foreach { ts =>
+      val toks = ts.toIndexedSeq
+      val arcs = DepLite.parse(toks)
+      assert(arcs.length == toks.length)
+      arcs.zipWithIndex.foreach { case (a, i) =>
+        // heads in range, never self
+        assert(a.head >= -1 && a.head < toks.length && a.head != i)
+      }
+      // the head function is ACYCLIC: following heads from any token
+      // terminates at a root within n steps (a cycle would hang the
+      // path BFS's intuition and corrupt features)
+      arcs.indices.foreach { start =>
+        var cur = start
+        var steps = 0
+        while (cur != -1 && steps <= toks.length) {
+          cur = arcs(cur).head
+          steps += 1
+        }
+        assert(cur == -1, s"cycle reached from $start in ${toks.map(_.pos)}")
+      }
+      // determinism: same tokens, same arcs
+      assert(DepLite.parse(toks).toSeq == arcs.toSeq)
+      // path features never throw on any span pair
+      if (toks.length >= 2) {
+        val fs = DepLite.pathFeatures(toks, arcs, 0, 1,
+          toks.length - 1, toks.length)
+        fs.foreach(f => assert(f.startsWith("dep_")))
+      }
+    }
+  }
 }
