@@ -38,6 +38,32 @@ class PlanSpec extends AnyFunSuite {
       s"no WSCG:\n$plan")
   }
 
+  test("argmax/top-k plans are hash aggregates, not rank-filter windows") {
+    // the round-4 de-window: a Window(row_number) would globally sort
+    // the fact table by a multi-column key; the struct-max / collect+
+    // slice forms keep it one hash aggregate (the final presentation
+    // orderBy on the small result is fine)
+    Seq("q03_argmax", "q04_topk").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still uses a window:\n$plan")
+      // max(struct)/collect_list buffers are complex-typed, so Spark
+      // plans SortAggregate (partition-LOCAL sort + partial agg), not
+      // HashAggregate — still no global sort of the fact table, which
+      // is the property this test pins
+      assert(plan.contains("Aggregate"), s"$name not an aggregate:\n$plan")
+    }
+  }
+
+  test("q19 LSH is equi-joins on band keys, never a nested-loop join") {
+    val df = SparkEntry.queries("q19_docs_minhash_lsh")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi join in the LSH candidate path:\n$plan")
+  }
+
   test("pipeline shuffle count stays bounded (distinct exchanges)") {
     import spark.implicits._
     val (pages, _) = graft.fixtures.PageGen.corpus(10)
