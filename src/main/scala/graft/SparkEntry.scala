@@ -320,8 +320,70 @@ object SparkEntry {
     // k-means quantizer + fit/probe split is spec-gated (DedupSpec)
     "q27_embed_ivf" -> q((s, d) =>
       graft.dedup.NearDup.ivfSampleTopK(s, t(s, d, "embeddings"),
-        queryId = 0L, k = 10, nLists = 8, nProbe = 3))
+        queryId = 0L, k = 10, nLists = 8, nProbe = 3)),
+    // G3 transitive completion, oracle-checked: depth-3 closure over a
+    // deterministic graph derived from `supplier` (a binary subsidiary
+    // tree k -> 2k, 2k+1 plus an org:member_of chain k -> k+1). Every
+    // edge score is a power of 2 (0.5 / 0.25), so every path product is
+    // an EXACT double on both engines and the closure rows hash-compare
+    // bit-for-bit. In a tree/chain each (subj,obj) pair has one path, so
+    // the first-depth-wins anti-join semantics are decidable in SQL.
+    "q28_graph_closure" -> q((s, d) => {
+      import s.implicits._
+      val g = graphFixture(s, d)
+      graft.link.GraphOps.transitiveClosure(s,
+          g.subsidiaries.unionByName(g.members))
+        .select($"subj", $"pred", $"obj", round($"score", 6).as("score"))
+        .orderBy($"subj", $"pred", $"obj")
+    }),
+    // G5 weighted Horn-rule inference, oracle-checked: two rules
+    // (subsidiary-of-subsidiary; employee-of-subsidiary lifts to parent)
+    // applied depth-3 over the subsidiary tree + one employee edge per
+    // org. Rule weights are powers of 2 for the same FP-exactness reason;
+    // a triple re-derivable through two intermediates keeps BOTH score
+    // rows (distinct is over (subj,pred,obj,score)) — mirrored in SQL.
+    "q29_graph_rules" -> q((s, d) => {
+      import s.implicits._
+      val g = graphFixture(s, d)
+      val rules = Seq(
+        graft.link.RuleInference.Rule(
+          "org:subsidiaries", "org:subsidiaries", "org:subsidiaries", 0.5),
+        graft.link.RuleInference.Rule(
+          "org:subsidiaries", "org:top_members/employees",
+          "org:top_members/employees", 0.25))
+      graft.link.RuleInference.infer(s,
+          g.subsidiaries.unionByName(g.employees), rules, depth = 3)
+        .select($"subj", $"pred", $"obj", round($"score", 6).as("score"))
+        .orderBy($"subj", $"pred", $"obj", $"score")
+    })
   ) ++ sparkOnlyQueries
+
+  private final case class GraphFixture(subsidiaries: DataFrame,
+                                        members: DataFrame,
+                                        employees: DataFrame)
+
+  /** Deterministic edge tables for q28/q29, derived from `supplier` so the
+   *  DuckDB oracle rebuilds them from the same parquet: a binary
+   *  subsidiary tree (k -> 2k, 2k+1 where the child key exists), an
+   *  org:member_of chain (k -> k+1), and one top-employee edge per org
+   *  (k -> k + 100000). Semi-joins keep only edges whose endpoint exists. */
+  private def graphFixture(s: SparkSession, d: String): GraphFixture = {
+    import s.implicits._
+    val sup = t(s, d, "supplier").select($"s_suppkey".cast("long").as("k"))
+    val keys = sup.select($"k".as("obj"))
+    def exists(df: DataFrame) = df.join(keys, Seq("obj"), "left_semi")
+    val subs = exists(sup.select($"k".as("subj"), ($"k" * 2).as("obj")))
+      .unionByName(exists(sup.select($"k".as("subj"), ($"k" * 2 + 1).as("obj"))))
+      .select($"subj", lit("org:subsidiaries").as("pred"), $"obj",
+        lit(0.5).as("score"))
+    val memb = exists(sup.select($"k".as("subj"), ($"k" + 1).as("obj")))
+      .select($"subj", lit("org:member_of").as("pred"), $"obj",
+        when($"subj" % 2 === 0, 0.5).otherwise(0.25).as("score"))
+    val emp = sup.select($"k".as("subj"),
+      lit("org:top_members/employees").as("pred"),
+      ($"k" + 100000L).as("obj"), lit(0.25).as("score"))
+    GraphFixture(subs, memb, emp)
+  }
 
   /** Operators with no faithful SQL mirror: driver records a rows-only
    *  check; their semantics are gated by ScalaTest specs instead. */
@@ -637,7 +699,92 @@ object SparkEntry {
                 FROM u GROUP BY 1)
          SELECT vec_id, round(dot / sqrt(na * nb), 5) AS cos
          FROM sc ORDER BY cos DESC, vec_id LIMIT 10""",
-    "q22_simhash" -> simhashOracleSql
+    "q22_simhash" -> simhashOracleSql,
+    // q28: same graph fixture (binary subsidiary tree + member chain over
+    // supplier keys), same first-depth-wins closure: h2 = 2-hop joins of
+    // the base with itself, anti-joined against the base; h3 = the 2-hop
+    // frontier joined with the base, anti-joined against everything
+    // accumulated. Scores are powers of 2 -> exact doubles both engines.
+    "q28_graph_closure" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         base AS (
+           SELECT k AS subj, 'org:subsidiaries' AS pred, k*2 AS obj,
+                  CAST(0.5 AS DOUBLE) AS score
+           FROM sup WHERE k*2 IN (SELECT k FROM sup)
+           UNION ALL
+           SELECT k, 'org:subsidiaries', k*2+1, CAST(0.5 AS DOUBLE)
+           FROM sup WHERE k*2+1 IN (SELECT k FROM sup)
+           UNION ALL
+           SELECT k, 'org:member_of', k+1,
+                  CAST(CASE WHEN k % 2 = 0 THEN 0.5 ELSE 0.25 END AS DOUBLE)
+           FROM sup WHERE k+1 IN (SELECT k FROM sup)),
+         b AS (SELECT DISTINCT subj, pred, obj, score FROM base),
+         h2 AS (SELECT DISTINCT a.subj, a.pred, c.obj, a.score*c.score AS score
+                FROM b a JOIN b c
+                ON a.obj = c.subj AND a.pred = c.pred AND a.subj <> c.obj),
+         f2 AS (SELECT * FROM h2 WHERE NOT EXISTS (
+                  SELECT 1 FROM b WHERE b.subj = h2.subj
+                  AND b.pred = h2.pred AND b.obj = h2.obj)),
+         h3 AS (SELECT DISTINCT a.subj, a.pred, c.obj, a.score*c.score AS score
+                FROM f2 a JOIN b c
+                ON a.obj = c.subj AND a.pred = c.pred AND a.subj <> c.obj),
+         acc2 AS (SELECT * FROM b UNION ALL SELECT * FROM f2),
+         f3 AS (SELECT * FROM h3 WHERE NOT EXISTS (
+                  SELECT 1 FROM acc2 WHERE acc2.subj = h3.subj
+                  AND acc2.pred = h3.pred AND acc2.obj = h3.obj))
+         SELECT subj, pred, obj, round(score, 6) AS score
+         FROM (SELECT * FROM acc2 UNION ALL SELECT * FROM f3)
+         ORDER BY subj, pred, obj""",
+    // q29: same two Horn rules applied round-by-round exactly as
+    // RuleInference.applyOnce does: derive with both rules over the
+    // accumulated table, DISTINCT over (subj,pred,obj,score) — a triple
+    // reachable through two different intermediates keeps both score
+    // rows — then anti-join on (subj,pred,obj) before the union.
+    "q29_graph_rules" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         b AS (
+           SELECT k AS subj, 'org:subsidiaries' AS pred, k*2 AS obj,
+                  CAST(0.5 AS DOUBLE) AS score
+           FROM sup WHERE k*2 IN (SELECT k FROM sup)
+           UNION ALL
+           SELECT k, 'org:subsidiaries', k*2+1, CAST(0.5 AS DOUBLE)
+           FROM sup WHERE k*2+1 IN (SELECT k FROM sup)
+           UNION ALL
+           SELECT k, 'org:top_members/employees', k+100000,
+                  CAST(0.25 AS DOUBLE)
+           FROM sup),
+         d1 AS (SELECT DISTINCT * FROM (
+           SELECT a.subj, 'org:subsidiaries' AS pred, c.obj,
+                  a.score*c.score*CAST(0.5 AS DOUBLE) AS score
+           FROM b a JOIN b c ON a.obj = c.subj AND a.subj <> c.obj
+           WHERE a.pred = 'org:subsidiaries' AND c.pred = 'org:subsidiaries'
+           UNION ALL
+           SELECT a.subj, 'org:top_members/employees', c.obj,
+                  a.score*c.score*CAST(0.25 AS DOUBLE)
+           FROM b a JOIN b c ON a.obj = c.subj AND a.subj <> c.obj
+           WHERE a.pred = 'org:subsidiaries'
+           AND c.pred = 'org:top_members/employees')),
+         f1 AS (SELECT * FROM d1 WHERE NOT EXISTS (
+                  SELECT 1 FROM b WHERE b.subj = d1.subj
+                  AND b.pred = d1.pred AND b.obj = d1.obj)),
+         r1 AS (SELECT * FROM b UNION ALL SELECT * FROM f1),
+         d2 AS (SELECT DISTINCT * FROM (
+           SELECT a.subj, 'org:subsidiaries' AS pred, c.obj,
+                  a.score*c.score*CAST(0.5 AS DOUBLE) AS score
+           FROM r1 a JOIN r1 c ON a.obj = c.subj AND a.subj <> c.obj
+           WHERE a.pred = 'org:subsidiaries' AND c.pred = 'org:subsidiaries'
+           UNION ALL
+           SELECT a.subj, 'org:top_members/employees', c.obj,
+                  a.score*c.score*CAST(0.25 AS DOUBLE)
+           FROM r1 a JOIN r1 c ON a.obj = c.subj AND a.subj <> c.obj
+           WHERE a.pred = 'org:subsidiaries'
+           AND c.pred = 'org:top_members/employees')),
+         f2 AS (SELECT * FROM d2 WHERE NOT EXISTS (
+                  SELECT 1 FROM r1 WHERE r1.subj = d2.subj
+                  AND r1.pred = d2.pred AND r1.obj = d2.obj))
+         SELECT subj, pred, obj, round(score, 6) AS score
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM f2)
+         ORDER BY subj, pred, obj, score"""
   )
 
   /** DuckDB mirror of SimHash.simhash64 (generated: 64 per-bit vote sums).
