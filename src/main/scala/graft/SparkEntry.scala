@@ -355,6 +355,46 @@ object SparkEntry {
           g.subsidiaries.unionByName(g.employees), rules, depth = 3)
         .select($"subj", $"pred", $"obj", round($"score", 6).as("score"))
         .orderBy($"subj", $"pred", $"obj", $"score")
+    }),
+    // G6 connected components, oracle-checked: intra-decade chains
+    // (k -> k+1 while in the same decade of supplier keys) plus one
+    // mid-decade spoke (k%10==5 -> decade anchor). Supplier keys are
+    // contiguous, so each decade is one component whose fixpoint label is
+    // closed-form — the decade minimum over the vertex set — which the
+    // oracle computes directly; the chain's diameter (~9) forces real
+    // multi-round min-label propagation, not a 1-hop star collapse.
+    "q32_graph_cc" -> q((s, d) => {
+      import s.implicits._
+      val sup = t(s, d, "supplier").select($"s_suppkey".cast("long").as("k"))
+      val keys = sup.select($"k".as("dst"))
+      def exists(df: DataFrame) = df.join(keys, Seq("dst"), "left_semi")
+      val chain = exists(sup.filter($"k" % 10 =!= 9)
+        .select($"k".as("src"), ($"k" + 1).as("dst")))
+      val spoke = exists(sup.filter($"k" % 10 === 5)
+        .select($"k".as("src"), ($"k" - 5).as("dst")))
+      graft.link.GraphOps.connectedComponents(s, chain.unionByName(spoke))
+        .orderBy($"v")
+    }),
+    // T7 threshold sweep -> P/R curve, oracle-checked: deterministic
+    // scores/gold from `orders`, then the one-pass bucketed sweep
+    // (bucket counts + reverse cumulative sums). The oracle transcribes
+    // the same bucketing (truncate-toward-zero on a nonnegative score,
+    // so floor()), cumulative window, and the exact f1 operation order.
+    "q33_pr_sweep" -> q((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      val scored = o.select($"o_custkey".as("subj"), lit("rel").as("pred"),
+        $"o_orderkey".as("obj"),
+        (($"o_orderkey" % 100).cast("double") / 100.0).as("score"))
+      val gold = o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_custkey".as("subj"), lit("rel").as("pred"),
+          $"o_orderkey".as("obj"))
+      graft.evaluate.Evaluate.thresholdSweep(s, scored, gold)
+        .select($"threshold", $"responses", $"correct",
+          round($"precision", 6).as("precision"),
+          round($"recall", 6).as("recall"),
+          round($"f1", 6).as("f1"))
+        .orderBy($"threshold")
     })
   ) ++ sparkOnlyQueries
 
@@ -784,7 +824,55 @@ object SparkEntry {
                   AND r1.pred = d2.pred AND r1.obj = d2.obj))
          SELECT subj, pred, obj, round(score, 6) AS score
          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM f2)
-         ORDER BY subj, pred, obj, score"""
+         ORDER BY subj, pred, obj, score""",
+    // q32: the vertex set is the edge endpoints (isolated keys are not
+    // labeled); supplier keys are contiguous, so each decade's component
+    // label is its minimum present key — computed directly as the
+    // closed-form fixpoint the min-label propagation must reach.
+    "q32_graph_cc" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         e AS (
+           SELECT k AS src, k+1 AS dst FROM sup
+           WHERE k % 10 <> 9 AND k+1 IN (SELECT k FROM sup)
+           UNION ALL
+           SELECT k, k-5 FROM sup
+           WHERE k % 10 = 5 AND k-5 IN (SELECT k FROM sup)),
+         vset AS (SELECT DISTINCT v FROM
+           (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e))
+         SELECT v, min(v) OVER (PARTITION BY v // 10) AS comp
+         FROM vset ORDER BY v""",
+    // q33: same bucketing (truncation of a nonnegative score/step ->
+    // floor), same reverse-cumulative window, same unrounded P/R feeding
+    // f1 with the identical multiply/divide order, rounded at the end.
+    "q33_pr_sweep" ->
+      """WITH scored AS (SELECT o_custkey AS subj, 'rel' AS pred,
+                o_orderkey AS obj,
+                CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS score FROM orders),
+         gold AS (SELECT o_custkey AS subj, 'rel' AS pred, o_orderkey AS obj
+                  FROM orders WHERE o_orderkey % 3 = 0),
+         g AS (SELECT s.subj, s.pred, s.obj,
+                 CAST(CAST(floor(s.score / 0.1) AS INTEGER) AS DOUBLE) * 0.1 AS bucket,
+                 CASE WHEN gd.obj IS NULL THEN 0 ELSE 1 END AS hit
+               FROM scored s LEFT JOIN gold gd USING (subj, pred, obj)),
+         pb AS (SELECT bucket, count(*) AS n, sum(hit) AS correct
+                FROM g GROUP BY 1),
+         ans AS (SELECT greatest(1, count(*)) AS answers FROM
+                 (SELECT DISTINCT subj, pred, obj FROM gold)),
+         cum AS (SELECT bucket AS threshold,
+                   CAST(sum(n) OVER (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS responses,
+                   CAST(sum(correct) OVER (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS correct
+                 FROM pb),
+         pr AS (SELECT threshold, responses, correct,
+                  CAST(correct AS DOUBLE) / responses AS p,
+                  CAST(correct AS DOUBLE) / (SELECT answers FROM ans) AS r
+                FROM cum)
+         SELECT threshold, responses, correct,
+           round(p, 6) AS precision, round(r, 6) AS recall,
+           round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                 ELSE 0.0 END, 6) AS f1
+         FROM pr ORDER BY threshold"""
   )
 
   /** DuckDB mirror of SimHash.simhash64 (generated: 64 per-bit vote sums).
