@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-suite gates for the oracle-checked graph/eval driver queries
+ *  (q28 closure, q29 Horn rules, q32 connected components, q33 P/R
+ *  sweep) — closed-form expectations on the sf0.001 supplier keys
+ *  (0..9), independent of the DuckDB harness. */
+class GraphQuerySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Seq[(Long, String, Long, Double)] =
+    SparkEntry.queries(name)(spark, dir).collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+  test("q28 closure contains the exact 2- and 3-hop path products") {
+    val c = rows("q28_graph_closure")
+    // subsidiary tree 1 -> 2 -> 4 -> 8, each hop 0.5
+    assert(c.contains((1L, "org:subsidiaries", 4L, 0.25)))
+    assert(c.contains((1L, "org:subsidiaries", 8L, 0.125)))
+    // member chain 0 -> 1 -> 2 -> 3 with parity scores 0.5, 0.25, 0.5
+    assert(c.contains((0L, "org:member_of", 2L, 0.125)))
+    assert(c.contains((0L, "org:member_of", 3L, 0.0625)))
+    // depth bound: no 4-hop edge (1 -> 2 -> 4 -> 8 -> 16 needs key 16)
+    assert(!c.exists(r => r._1 == 1L && r._3 == 16L))
+  }
+
+  test("q29 Horn rules lift an employee to the parent org, first-depth wins") {
+    val c = rows("q29_graph_rules")
+    // subsid(1,2)=0.5 ∧ emp(2,100002)=0.25, weight 0.25 -> 0.03125
+    assert(c.contains((1L, "org:top_members/employees", 100002L, 0.03125)))
+    // 2-hop derived subsidiary: (0.5*0.5)*0.5
+    assert(c.contains((1L, "org:subsidiaries", 4L, 0.125)))
+    // anti-join keeps the base row for triples the rules re-derive
+    val base = c.filter(r =>
+      r._1 == 1L && r._2 == "org:subsidiaries" && r._3 == 2L)
+    assert(base == Seq((1L, "org:subsidiaries", 2L, 0.5)))
+  }
+
+  test("q32 labels every vertex with its component's minimum key") {
+    val c = SparkEntry.queries("q32_graph_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // keys 0..9 are one decade: chain + spoke connect all of them, and
+    // the fixpoint label is the decade minimum (0) for every vertex
+    assert(c.map(_._1).sorted == (0L to 9L))
+    assert(c.forall(_._2 == 0L))
+  }
+
+  test("q33 sweep is a valid monotone P/R curve") {
+    val c = SparkEntry.queries("q33_pr_sweep")(spark, dir).collect().toSeq
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(c.nonEmpty && c.length <= 11) // one row per 0.1 bucket
+    // thresholds ascend; responses, correct and recall never increase
+    assert(c.map(_._1) == c.map(_._1).sorted)
+    assert(c.map(_._2).reverse == c.map(_._2).reverse.sorted)
+    assert(c.map(_._3).reverse == c.map(_._3).reverse.sorted)
+    assert(c.map(_._4).reverse == c.map(_._4).reverse.sorted)
+    // every bucket: correct <= responses (precision <= 1)
+    assert(c.forall(r => r._3 <= r._2))
+  }
+}
