@@ -68,6 +68,23 @@ object StreamIngest {
       .as[Page]
   }
 
+  /** Watermarked tumbling-window crawl-rate rollup (the streaming analogue
+   *  of the batch hourly aggregation, q12 shape): pages per (event-time
+   *  window, lang) plus total chars, emitted in APPEND mode — each
+   *  window's row is emitted exactly once, when the watermark passes the
+   *  window end, so downstream consumers see final counts only. State is
+   *  one row per OPEN (window, lang) inside the horizon — bounded by the
+   *  watermark delay × language count, never by crawl history. */
+  def crawlRateStream(pages: Dataset[Page], watermark: String = "1 hour",
+                      windowLen: String = "1 hour"): DataFrame =
+    pages.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen), col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("text"))).as("n_chars"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_pages"), col("n_chars"))
+
   /** Streaming state for one (subj, pred, obj): the running log-complement
    *  of the noisy-or over every provenance seen so far (order-independent,
    *  so arrival order across micro-batches cannot change the result). */

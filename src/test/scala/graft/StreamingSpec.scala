@@ -61,6 +61,52 @@ class StreamingSpec extends AnyFunSuite {
       Set("alpha body", "beta body", "gamma body"))
   }
 
+  test("watermarked windowed crawl-rate emits final per-window counts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rate").toString
+    def page(url: String, ts: String, text: String, lang: String) =
+      graft.model.Page(url, java.sql.Timestamp.valueOf(ts),
+        Array.emptyByteArray, text, lang)
+    val b1 = Seq(
+      page("http://a/1", "2026-01-01 00:10:00", "aa", "en"),
+      page("http://a/2", "2026-01-01 00:20:00", "bbbb", "en"),
+      page("http://a/3", "2026-01-01 00:40:00", "cc", "de"),
+      page("http://a/4", "2026-01-01 01:10:00", "ddd", "en"))
+    // later batches advance the watermark so hours 0 and 1 finalize;
+    // the 02:30 page's own window stays open (append mode holds it)
+    val b2 = Seq(page("http://a/5", "2026-01-01 02:30:00", "e", "en"),
+      page("http://a/6", "2026-01-01 03:30:00", "f", "en"))
+    val b3 = Seq(page("http://a/7", "2026-01-01 10:00:00", "g", "en"))
+    val inDir = s"$root/in"
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(b1).schema)
+        .parquet(inDir).as[graft.model.Page]
+      val q = StreamIngest.crawlRateStream(stream).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ck")
+        .format("parquet").option("path", s"$root/out").start()
+      q.awaitTermination()
+    }
+    Seq(b1, b2, b3).foreach { b =>
+      spark.createDataset(b).write.mode("append").parquet(inDir)
+      drain()
+    }
+    val out = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // exactly the closed windows, with final counts: the trailing no-data
+    // micro-batch finalizes every window behind the advanced watermark
+    // (09:00), so hours 0-3 emit once each; the 10:00 page's own window
+    // is still open and withheld — append mode never emits partials
+    assert(out == Set(
+      ("2026-01-01 00:00:00.0", "en", 2L, 6L),
+      ("2026-01-01 00:00:00.0", "de", 1L, 2L),
+      ("2026-01-01 01:00:00.0", "en", 1L, 3L),
+      ("2026-01-01 02:00:00.0", "en", 1L, 1L),
+      ("2026-01-01 03:00:00.0", "en", 1L, 1L)))
+  }
+
   test("incremental noisy-or state equals the batch combinator") {
     import graft.model.{Provenance, SlotFill}
     val root = java.nio.file.Files.createTempDirectory("graft-noisyor").toString
