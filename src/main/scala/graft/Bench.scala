@@ -39,6 +39,18 @@ object Bench {
    *  pipeline (small tolerance over 1.0 for timer jitter). */
   val PlausibleEff = 1.05
 
+  /** A round whose bracketing pure-compute calibration falls below this
+   *  fraction of the run's peak at the same thread count ran during
+   *  demonstrated host throttling (the calibration loop is register-only
+   *  compute — nothing of ours can slow it) and measures the host, not
+   *  the pipeline. The ceiling above catches throttled-N rounds (eff
+   *  blows past 1); this catches throttled-4N rounds (eff collapses
+   *  low); both are excluded from the estimator and reported raw in
+   *  `discarded_efficiencies`. Relative-to-run-peak, so a uniformly
+   *  loaded window discards nothing — it only trims rounds the window
+   *  itself proves anomalous. */
+  val CalibFloor = 0.85
+
   /** Locale-fixed decimal (JSON must be machine-parseable everywhere). */
   private def fd(v: Double, dec: Int): String =
     String.format(java.util.Locale.ROOT, "%." + dec + "f", Double.box(v))
@@ -161,16 +173,25 @@ object Bench {
       t
     }
 
-    // raw per-round records: (nSec, n4Sec, calibN, calib4N, clean?)
+    // raw per-round records: (nSec, n4Sec, calibN, calib4N)
     final case class Round(nSec: Double, n4Sec: Double,
                            calibN: Double, calib4N: Double) {
       def eff: Double = nSec / n4Sec / 4.0
-      def clean: Boolean = eff <= PlausibleEff
     }
     val rounds = scala.collection.mutable.ArrayBuffer[Round]()
+    // clean = plausible efficiency AND both bracketing calibrations
+    // within CalibFloor of the run's peak at that thread count (the
+    // peaks evolve as rounds accumulate, so classification is done
+    // against the CURRENT maxima every time it's needed)
+    def cleanRounds: Seq[Round] = {
+      val maxN = rounds.map(_.calibN).max
+      val max4N = rounds.map(_.calib4N).max
+      rounds.filter(r => r.eff <= PlausibleEff &&
+        r.calibN >= CalibFloor * maxN && r.calib4N >= CalibFloor * max4N).toSeq
+    }
 
     def scalingJson(): String = {
-      val clean = rounds.filter(_.clean)
+      val clean = cleanRounds
       val est = if (clean.nonEmpty) clean else rounds.toSeq
       val thrN = scalePages / est.map(_.nSec).min
       val thr4N = scalePages / est.map(_.n4Sec).min
@@ -185,7 +206,7 @@ object Bench {
       val effPairedMedian =
         if (effs.size % 2 == 1) effs(effs.size / 2)
         else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
-      val discarded = rounds.filter(!_.clean)
+      val discarded = rounds.toSeq.diff(clean)
       s""""scaling":{"pages":$scalePages,"n_threads":$scaleN,"n4_threads":${scaleN * 4},""" +
       s""""rounds_completed":${clean.length},"rounds_total_run":${rounds.length},""" +
       s""""target_clean_rounds":$targetClean,"budget_s":${fd(budgetS, 0)},""" +
@@ -216,7 +237,7 @@ object Bench {
       else scalePages / 2800.0 + scalePages / 9000.0 + 20.0
     var r = 1
     def needMore: Boolean = {
-      val clean = rounds.filter(_.clean)
+      val clean = cleanRounds
       clean.length < targetClean || {
         // best-of over clean rounds can still exceed the plausible band if
         // every N-side run so far was throttled — keep sampling
