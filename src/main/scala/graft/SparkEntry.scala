@@ -180,6 +180,23 @@ object SparkEntry {
         $"n_chars")
         .orderBy($"doc_id")
     }),
+    // BPE-ish subword counting (the GPT-2-style pre-tokenizer shape) —
+    // separate from q13 so the headline token-count timing stays
+    // comparable across rounds
+    "q34_docs_subwords" -> q((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id",
+        graft.text.TextStats.subwordCount($"text").as("n_subwords"))
+        .orderBy($"doc_id")
+    }),
+    // true rolling-hash (Rabin-Karp min over sliding char 8-grams) —
+    // exact integer arithmetic the oracle recomputes term by term
+    "q35_docs_rollhash" -> q((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id",
+        graft.text.TextStats.rollingMin($"text").as("roll_min"))
+        .orderBy($"doc_id")
+    }),
     "q14_docs_fingerprint" -> q((s, d) => {
       import s.implicits._
       // rolling/normalized document fingerprint
@@ -396,7 +413,7 @@ object SparkEntry {
           round($"f1", 6).as("f1"))
         .orderBy($"threshold")
     })
-  ) ++ sparkOnlyQueries
+  ) ++ moduleQueries
 
   private final case class GraphFixture(subsidiaries: DataFrame,
                                         members: DataFrame,
@@ -425,9 +442,13 @@ object SparkEntry {
     GraphFixture(subs, memb, emp)
   }
 
-  /** Operators with no faithful SQL mirror: driver records a rows-only
-   *  check; their semantics are gated by ScalaTest specs instead. */
-  private def sparkOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Library-backed queries (each calls into a graft module rather than
+   *  composing inline column expressions) plus the two KG-pipeline dumps.
+   *  All but q30/q31 carry full DuckDB oracles; the pipeline dumps are
+   *  rows-only here because no SQL mirror of the NLP pipeline exists —
+   *  their semantics are gated by the planted-gold P/R spec and the
+   *  committed golden triple-set hash (PipelineE2ESpec). */
+  private def moduleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_embed_ann_lsh" -> q((s, d) => {
       import s.implicits._
       // sign-random-projection LSH bucketing (scale path for ANN): 8 fixed
@@ -565,6 +586,10 @@ object SparkEntry {
     "q13_docs_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
          n_chars FROM documents ORDER BY doc_id""",
+    "q34_docs_subwords" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Z]?[a-z]+|[A-Z]+|\d+|[^\sA-Za-z0-9]')) AS INTEGER) AS n_subwords
+         FROM documents ORDER BY doc_id""",
     "q14_docs_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
@@ -740,6 +765,7 @@ object SparkEntry {
          SELECT vec_id, round(dot / sqrt(na * nb), 5) AS cos
          FROM sc ORDER BY cos DESC, vec_id LIMIT 10""",
     "q22_simhash" -> simhashOracleSql,
+    "q35_docs_rollhash" -> rollingOracleSql,
     // q28: same graph fixture (binary subsidiary tree + member chain over
     // supplier keys), same first-depth-wins closure: h2 = 2-hop joins of
     // the base with itself, anti-joined against the base; h3 = the 2-hop
@@ -874,6 +900,25 @@ object SparkEntry {
                  ELSE 0.0 END, 6) AS f1
          FROM pr ORDER BY threshold"""
   )
+
+  /** DuckDB mirror of TextStats.rollingMin (generated: the k polynomial
+   *  terms written out explicitly — RE2/list_transform recompute the
+   *  identical BIGINT window hashes, and unicode() == ascii() on the
+   *  normalized [a-z0-9 ] alphabet). */
+  private def rollingOracleSql: String = {
+    val k = 8
+    val terms = (0 until k).map(i =>
+      s"CAST(unicode(substr(t, CAST(j + ${i + 1} AS INTEGER), 1)) AS BIGINT) * ${BigInt(31).pow(k - 1 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH n AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN length(t) >= $k THEN
+            list_min(list_transform(range(0, length(t) - $k + 1), j -> $terms))
+          ELSE NULL END AS roll_min
+        FROM n ORDER BY doc_id"""
+  }
 
   /** DuckDB mirror of SimHash.simhash64 (generated: 64 per-bit vote sums).
    *  Token hash = first 16 hex chars of md5(token); bit b of that value
