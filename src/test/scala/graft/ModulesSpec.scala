@@ -64,6 +64,35 @@ class ModulesSpec extends AnyFunSuite {
     assert(at01.getAs[Long]("responses") == 3)
   }
 
+  test("TextStats: subword splits and the rolling-hash min window") {
+    import graft.text.TextStats
+    val df = Seq(
+      (1L, "HTMLParser ABc foo2bar x-ray"), // camel/case/digit/punct splits
+      (2L, "abcdefgh!"),                    // exactly one normalized window
+      (3L, "zzzzzzzz aaaaaaaa"),            // min must pick the low window
+      (4L, "short")                         // < 8 normalized chars -> null
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextStats.subwordCount($"text").as("sw"),
+        TextStats.rollingMin($"text").as("rm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // HTMLP|arser AB|c foo|2|bar x|-|ray (greedy leftmost-first, the
+    // same split RE2 produces for the oracle)
+    assert(out(1L)._1 == 10)
+    // independent plain-Scala recomputation of the polynomial min
+    def roll(text: String): Option[Long] = {
+      val t = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      if (t.length < 8) None
+      else Some((0 to t.length - 8).map(j =>
+        (0 until 8).map(i => t(j + i).toLong * math.pow(31, 7 - i).toLong)
+          .sum).min)
+    }
+    assert(out(2L)._2 == roll("abcdefgh!"))
+    assert(out(3L)._2 == roll("zzzzzzzz aaaaaaaa"))
+    assert(out(4L)._2.isEmpty)
+  }
+
   test("GraphOps.transitiveClosure completes bounded chains") {
     val edges = Seq(
       ("A", "org:subsidiaries", "B", 1.0),
