@@ -37,9 +37,10 @@ object Candidates {
    *  snapshot tables are the datum cache); this key is the CROSS-RUN
    *  stable identity for an external datum/sentence cache, byte-compatible
    *  with the reference's so cached datums could be shared. */
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
   def glossKey(sentenceGloss: String, entityGloss: String,
                valueGloss: String): String =
-    md5hex(sentenceGloss.replaceAll("\\s+", " ").trim) + ":" +
+    md5hex(WsRun.matcher(sentenceGloss).replaceAll(" ").trim) + ":" +
       md5hex(entityGloss.trim).substring(0, 7) + ":" +
       md5hex(valueGloss.trim).substring(0, 7)
 

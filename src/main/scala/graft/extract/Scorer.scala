@@ -61,6 +61,109 @@ object Scorer {
   private lazy val hasher = new org.apache.spark.ml.feature.HashingTF()
     .setNumFeatures(graft.train.Trainer.NumFeatures)
 
+  /** Inverted CSR view of the whole frozen one-vs-all model: ONE probe per
+   *  FEATURE returns every (relation, weight) pair carrying that feature,
+   *  so a candidate costs |features| probes instead of
+   *  |relations|×|features| IntMap walks (the former inference hot spot in
+   *  executor stack samples). Scores are bit-identical to the per-relation
+   *  form: each relation's partial sums still accumulate in feature order,
+   *  one add per (feature, relation) weight, intercept first. */
+  private final class InvertedLR(models: Map[String, graft.train.Trainer.FrozenLR]) {
+    val relNames: Array[String] = models.keys.toArray.sorted
+    val nRels: Int = relNames.length
+    private val relIdx: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](nRels * 2)
+      var i = 0; while (i < nRels) { m.put(relNames(i), i); i += 1 }; m
+    }
+    val intercepts: Array[Double] = relNames.map(models(_).intercept)
+    val thresholds: Array[Double] = relNames.map(models(_).threshold)
+
+    // open-addressed feature table + CSR payload: for each distinct
+    // feature id, a contiguous [start, end) run of (relation index, weight)
+    private var slotStart: Array[Int] = _
+    private var slotEnd: Array[Int] = _
+    private var csrRel: Array[Int] = _
+    private var csrW: Array[Double] = _
+    private var mask: Int = _
+    private val hashKeys: Array[Int] = {
+      val byFeat = scala.collection.mutable.LongMap.empty[List[(Int, Double)]]
+      var r = 0
+      while (r < nRels) {
+        models(relNames(r)).weights.foreach { case (f, w) =>
+          byFeat(f.toLong) = (r, w) :: byFeat.getOrElse(f.toLong, Nil)
+        }
+        r += 1
+      }
+      val nKeys = byFeat.size
+      var cap = 16
+      while (cap < nKeys * 2) cap <<= 1
+      val keys = Array.fill(cap)(-1)
+      slotStart = new Array[Int](cap)
+      slotEnd = new Array[Int](cap)
+      val nnz = byFeat.valuesIterator.map(_.size).sum
+      csrRel = new Array[Int](nnz)
+      csrW = new Array[Double](nnz)
+      mask = cap - 1
+      var pos = 0
+      byFeat.foreach { case (fLong, pairs) =>
+        val f = fLong.toInt
+        var slot = scramble(f) & mask
+        while (keys(slot) >= 0) slot = (slot + 1) & mask
+        keys(slot) = f
+        slotStart(slot) = pos
+        pairs.foreach { case (ri, wi) =>
+          csrRel(pos) = ri; csrW(pos) = wi; pos += 1
+        }
+        slotEnd(slot) = pos
+      }
+      keys
+    }
+    private def scramble(k: Int): Int = {
+      // finalizer-style int mix (public-domain murmur3 fmix32 constants)
+      var h = k * 0x85ebca6b
+      h ^= h >>> 13
+      h *= 0xc2b2ae35
+      h ^ (h >>> 16)
+    }
+
+    def indexOf(rel: String): Int = {
+      val i = relIdx.get(rel)
+      if (i == null) -1 else i.intValue()
+    }
+
+    /** acc(r) = intercept(r) + Σ_{features} weight(r, f), feature order. */
+    def scoreInto(hashed: Array[Int], acc: Array[Double]): Unit = {
+      System.arraycopy(intercepts, 0, acc, 0, nRels)
+      var i = 0
+      while (i < hashed.length) {
+        val f = hashed(i)
+        var slot = scramble(f) & mask
+        var k = hashKeys(slot)
+        while (k >= 0 && k != f) { slot = (slot + 1) & mask; k = hashKeys(slot) }
+        if (k == f) {
+          var p = slotStart(slot)
+          val e = slotEnd(slot)
+          while (p < e) { acc(csrRel(p)) += csrW(p); p += 1 }
+        }
+        i += 1
+      }
+    }
+  }
+
+  private lazy val inverted: Option[InvertedLR] =
+    if (frozen.nonEmpty) Some(new InvertedLR(frozen)) else None
+
+  /** Per-JVM memo of feature-string -> murmur3 bucket: feature strings are
+   *  themselves memoized per (family, word) in Candidates, so the same
+   *  instances recur across candidates and String.hashCode is cached —
+   *  a map hit is cheaper than re-running murmur3 over the bytes. Bounded
+   *  like FeatureMemo. */
+  private val hashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val hashFn = new java.util.function.Function[String, Integer] {
+    def apply(f: String): Integer = Integer.valueOf(hasher.indexOf(f))
+  }
+
   /** (probability, decision threshold) for one relation: frozen trained LR
    *  when shipped, hand-set fallback otherwise. `hashed` carries the
    *  feature hashes computed ONCE per mention (41 relations share them —
@@ -83,7 +186,12 @@ object Scorer {
   def hashFeatures(features: Seq[String]): Array[Int] = {
     val out = new Array[Int](features.length)
     var i = 0
-    features.foreach { f => out(i) = hasher.indexOf(f); i += 1 }
+    features.foreach { f =>
+      out(i) =
+        if (hashMemo.size > (1 << 20)) hasher.indexOf(f)
+        else hashMemo.computeIfAbsent(f, hashFn).intValue()
+      i += 1
+    }
     out
   }
 
@@ -146,12 +254,28 @@ object Scorer {
     val typed = Relations.all.iterator.filter { m =>
       m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
     }
-    val hashed = if (frozen.nonEmpty) hashFeatures(c.features) else null
+    val acc = inverted match {
+      case Some(ix) =>
+        val a = new Array[Double](ix.nRels)
+        ix.scoreInto(hashFeatures(c.features), a)
+        a
+      case None => null
+    }
     betweenPass(c, typed.flatMap { m =>
       if (ruleHits.contains(m.name)) Some(m.name -> 1.0)
-      else {
-        val (p, thr) = lrScoreAndThreshold(m.name, c.features, hashed)
-        if (p > thr) Some(m.name -> p) else None
+      else inverted match {
+        case Some(ix) =>
+          val ri = ix.indexOf(m.name)
+          if (ri < 0) { // relation absent from the frozen TSV: fallback LR
+            val p = lrScore(m.name, c.features)
+            if (p > Threshold) Some(m.name -> p) else None
+          } else {
+            val p = sigmoid(acc(ri))
+            if (p > ix.thresholds(ri)) Some(m.name -> p) else None
+          }
+        case None =>
+          val p = lrScore(m.name, c.features)
+          if (p > Threshold) Some(m.name -> p) else None
       }
     }.toSeq)
   }

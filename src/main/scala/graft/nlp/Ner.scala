@@ -52,10 +52,15 @@ object Ner {
 
   private def isCapWord(w: String): Boolean =
     w.nonEmpty && w.charAt(0).isUpper && w.exists(_.isLetter)
+  // precompiled: String.matches compiles its Pattern on EVERY call and
+  // these run per token — visible in executor stack samples
+  private val DottedAcronym = java.util.regex.Pattern.compile("(?:\\p{Lu}\\.){2,}")
+  private val YearOld = java.util.regex.Pattern.compile("\\d+-year-old")
+  private val PlainNumber = java.util.regex.Pattern.compile("\\d+(?:[.,]\\d+)*%?")
   private def isAcronym(w: String): Boolean =
     (w.length >= 2 && w.length <= 6 && w.forall(c => c.isUpper || c.isDigit) &&
       w.exists(_.isUpper)) ||
-      (w.length >= 4 && w.matches("(?:\\p{Lu}\\.){2,}"))
+      (w.length >= 4 && DottedAcronym.matcher(w).matches())
 
   /** Tag one sentence's tokens. Returns parallel ner/timex arrays. */
   def tag(words: IndexedSeq[String]): Tagged = {
@@ -181,9 +186,10 @@ object Ner {
         val w = words(i)
         if (w.startsWith("http://") || w.startsWith("https://") ||
             w.startsWith("www.")) ner(i) = NER.URL
-        else if (w.matches("\\d+-year-old")) ner(i) = NER.DURATION
+        else if (w.endsWith("-year-old") && YearOld.matcher(w).matches())
+          ner(i) = NER.DURATION
         else if (w.nonEmpty && w.charAt(0).isDigit &&
-                 w.matches("\\d+(?:[.,]\\d+)*%?")) ner(i) = NER.NUMBER
+                 PlainNumber.matcher(w).matches()) ner(i) = NER.NUMBER
       }
       i += 1
     }
