@@ -195,6 +195,18 @@ object Scorer {
     out
   }
 
+  /** Test hook: score every frozen relation for one feature list via the
+   *  inverted CSR path (what `score` uses). Specs compare this against the
+   *  per-relation IntMap walk (`lrScoreAndThreshold`) for bit-equality. */
+  def scoreAllFrozen(features: Seq[String]): Map[String, Double] =
+    inverted match {
+      case Some(ix) =>
+        val acc = new Array[Double](ix.nRels)
+        ix.scoreInto(hashFeatures(features), acc)
+        ix.relNames.zipWithIndex.map { case (r, i) => r -> sigmoid(acc(i)) }.toMap
+      case None => Map.empty
+    }
+
   /** X5 stop-sets (ConformToGuidelinesFilter,
    *  HeuristicSlotfillPostProcessors.java:167-186): between-span phrases
    *  that invalidate a top-employee / org-alt-name justification. */

@@ -176,6 +176,31 @@ class ExtractSpec extends AnyFunSuite {
     assert(birth("a b c d e f g h i j").isEmpty) // distant, unsupported
   }
 
+  test("inverted frozen-LR scoring is bit-identical to the per-relation walk") {
+    assume(Scorer.frozen.nonEmpty)
+    val rels = Scorer.frozen.keys.toSeq.sorted
+    // real-shaped feature lists: memoized family strings, duplicates, and
+    // trigger features that carry trained weight
+    val featureLists = Seq(
+      Seq("arg1type=PERSON", "arg2type=CITY", "dist_bin=1",
+        "between_uni=born", "between_uni=in", "trigger=per:city_of_birth"),
+      Seq("arg1type=ORGANIZATION", "arg2type=PERSON", "between_uni=chief",
+        "between_uni=executive", "between_uni=chief", "dist_bin=2"),
+      (1 to 120).map(i => s"between_uni=w$i"), // mostly hash-misses
+      Seq.empty[String])
+    featureLists.foreach { fs =>
+      val fast = Scorer.scoreAllFrozen(fs)
+      rels.foreach { rel =>
+        val (slow, _) = Scorer.lrScoreAndThreshold(rel, fs)
+        // bit-identical, not approximately equal: the CSR path must add
+        // the same weights in the same feature order
+        assert(java.lang.Double.doubleToRawLongBits(fast(rel)) ==
+          java.lang.Double.doubleToRawLongBits(slow),
+          s"$rel on ${fs.take(3)}...: fast=${fast(rel)} slow=$slow")
+      }
+    }
+  }
+
   test("X9 ExpandToMaximalPhraseRewrite: title absorbs preceding noun run") {
     val s = sentencesOf("Emma Wilson works as a software engineer now.").head
     val Mentions.Spans(_, slots) = Mentions.extract(s)
