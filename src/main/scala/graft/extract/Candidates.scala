@@ -117,12 +117,22 @@ object Candidates {
    *  direct construction. */
   private final class FeatureMemo(make: String => String) {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    private val fn = new java.util.function.Function[String, String] {
-      def apply(w: String): String = make(w)
+    @volatile private var full = false
+    // bound check ONLY on miss: ConcurrentHashMap.size() sums striped
+    // counter cells whose count grows with writer threads — per-lookup
+    // size() anti-scales with executor parallelism (measured at local[32])
+    def apply(w: String): String = {
+      val hit = m.get(w)
+      if (hit != null) hit
+      else {
+        val v = make(w)
+        if (!full) {
+          m.put(w, v)
+          if (m.size > (1 << 20)) full = true
+        }
+        v
+      }
     }
-    def apply(w: String): String =
-      if (m.size > (1 << 20)) make(w)
-      else m.computeIfAbsent(w, fn)
   }
   private val betweenUniF = new FeatureMemo(w => "between_uni=" + sp(w))
   private val betweenClF =

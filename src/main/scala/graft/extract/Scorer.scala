@@ -156,13 +156,13 @@ object Scorer {
   /** Per-JVM memo of feature-string -> murmur3 bucket: feature strings are
    *  themselves memoized per (family, word) in Candidates, so the same
    *  instances recur across candidates and String.hashCode is cached —
-   *  a map hit is cheaper than re-running murmur3 over the bytes. Bounded
-   *  like FeatureMemo. */
+   *  a map hit is cheaper than re-running murmur3 over the bytes.
+   *  Bound check runs ONLY on the miss path: ConcurrentHashMap.size()
+   *  sums striped counter cells whose count grows with writer threads, so
+   *  calling it per lookup anti-scales with executor parallelism. */
   private val hashMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private val hashFn = new java.util.function.Function[String, Integer] {
-    def apply(f: String): Integer = Integer.valueOf(hasher.indexOf(f))
-  }
+  @volatile private var hashMemoFull = false
 
   /** (probability, decision threshold) for one relation: frozen trained LR
    *  when shipped, hand-set fallback otherwise. `hashed` carries the
@@ -187,9 +187,17 @@ object Scorer {
     val out = new Array[Int](features.length)
     var i = 0
     features.foreach { f =>
+      val hit = hashMemo.get(f)
       out(i) =
-        if (hashMemo.size > (1 << 20)) hasher.indexOf(f)
-        else hashMemo.computeIfAbsent(f, hashFn).intValue()
+        if (hit != null) hit.intValue()
+        else {
+          val h = hasher.indexOf(f)
+          if (!hashMemoFull) {
+            hashMemo.put(f, Integer.valueOf(h))
+            if (hashMemo.size > (1 << 20)) hashMemoFull = true
+          }
+          h
+        }
       i += 1
     }
     out

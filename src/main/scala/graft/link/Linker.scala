@@ -257,9 +257,14 @@ object Linker {
   @volatile private var retained: List[org.apache.spark.sql.Dataset[_]] = Nil
 
   /** Drop the caches the last canonicalize call retained (safe to call
-   *  any time after its result is materialized; idempotent). */
+   *  any time after its result is materialized; idempotent — and safe
+   *  across SparkSession recycling: a dataset whose owning context has
+   *  already stopped has no cache left to drop, and unpersisting it
+   *  through the dead BlockManagerMaster would NPE). */
   def release(): Unit = {
-    retained.foreach(_.unpersist())
+    retained.foreach { ds =>
+      if (!ds.sparkSession.sparkContext.isStopped) ds.unpersist()
+    }
     retained = Nil
   }
 

@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object ScaleOnly {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
-    for (cpus <- Seq(8, 32)) {
+    val levels = if (args.length > 1) args(1).split(",").toSeq.map(_.toInt)
+      else Seq(8, 32)
+    for (cpus <- levels) {
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
@@ -18,6 +20,10 @@ object ScaleOnly {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] cpus=$cpus n=$n ${n / sec}%9.1f pages/s ($sec%7.1f s)")
       spark.stop()
+      // a stopped context lingers as the active/default session; the next
+      // getOrCreate would hand back its dead BlockManagerMaster
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
   }
 }
