@@ -170,21 +170,31 @@ object Bench {
     spark.stop()
     calibMops(2) // JIT warm
     var warmedN = Set.empty[Int]
-    def oneRun(cpus: Int): Double = {
+    def oneRun(cpus: Int): (Double, Double) = {
       val s = session(cpus)
       if (!warmedN.contains(cpus)) { kgRun(s, 1000); warmedN += cpus }
       else kgRun(s, 200) // light session re-warm
+      val tracer = new InRunCalib().begin()
       val t = kgRun(s, scalePages)._2
+      val inrunMin = tracer.endAndMin()
       s.stop()
-      t
+      (t, inrunMin)
     }
 
-    // raw per-round records: (nSec, n4Sec, calibN, calib4N)
+    // raw per-round records: bracketing calibrations + in-run trace minima
     final case class Round(nSec: Double, n4Sec: Double,
-                           calibN: Double, calib4N: Double) {
+                           calibN: Double, calib4N: Double,
+                           inrunN: Double, inrun4N: Double) {
       def eff: Double = nSec / n4Sec / 4.0
     }
     val rounds = scala.collection.mutable.ArrayBuffer[Round]()
+    // bonus single-level attempts from the budget tail (time, in-run p10):
+    // they feed ONLY the per-level minima (best-of) and the in-run peaks —
+    // never the paired median, which stays strictly round-paired
+    val bonusN = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val bonus4N = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def allNSec: Seq[Double] = rounds.map(_.nSec).toSeq ++ bonusN.map(_._1)
+    def all4NSec: Seq[Double] = rounds.map(_.n4Sec).toSeq ++ bonus4N.map(_._1)
     // plausible = paired ratio below the physical ceiling; calib-clean =
     // plausible AND both bracketing calibrations within CalibFloor of
     // the run's peak at that thread count (the peaks evolve as rounds
@@ -195,8 +205,20 @@ object Bench {
     def calibCleanRounds: Seq[Round] = {
       val maxN = rounds.map(_.calibN).max
       val max4N = rounds.map(_.calib4N).max
+      // in-run trace p10s are compared PER LEVEL: during a 4N leg the
+      // burst thread also competes with Spark's own overhead threads
+      // (shuffle IO, GC) beside the executor threads, so 4N bursts sit
+      // structurally lower than N bursts — only same-level comparisons
+      // isolate host throttling from our own load profile; -1 = no sample
+      val inrunPeakN = (rounds.iterator.map(_.inrunN) ++
+        bonusN.iterator.map(_._2)).filter(_ > 0).maxOption.getOrElse(-1.0)
+      val inrunPeak4N = (rounds.iterator.map(_.inrun4N) ++
+        bonus4N.iterator.map(_._2)).filter(_ > 0).maxOption.getOrElse(-1.0)
+      def inrunOk(v: Double, peak: Double): Boolean =
+        v <= 0 || peak <= 0 || v >= CalibFloor * peak
       plausibleRounds.filter(r =>
-        r.calibN >= CalibFloor * maxN && r.calib4N >= CalibFloor * max4N)
+        r.calibN >= CalibFloor * maxN && r.calib4N >= CalibFloor * max4N &&
+          inrunOk(r.inrunN, inrunPeakN) && inrunOk(r.inrun4N, inrunPeak4N))
     }
 
     def scalingJson(): String = {
@@ -208,8 +230,8 @@ object Bench {
       // it cannot fabricate a minimum, and no round selection can bias
       // this estimator in either direction. Raw times for ALL rounds are
       // emitted alongside.
-      val thrN = scalePages / rounds.map(_.nSec).min
-      val thr4N = scalePages / rounds.map(_.n4Sec).min
+      val thrN = scalePages / allNSec.min
+      val thr4N = scalePages / all4NSec.min
       val eff = (thr4N / thrN) / 4.0
       // the paired-median IS ratio-based, so it is poisoned by either
       // side of a round being throttled — computed over calib-clean
@@ -235,6 +257,12 @@ object Bench {
       s""""runs_4n_sec":[${rounds.map(r => fd(r.n4Sec, 1)).mkString(",")}],""" +
       s""""calib_n_mops":[${rounds.map(r => fd(r.calibN, 0)).mkString(",")}],""" +
       s""""calib_4n_mops":[${rounds.map(r => fd(r.calib4N, 0)).mkString(",")}],""" +
+      s""""inrun_p10_n_mops":[${rounds.map(r => fd(r.inrunN, 0)).mkString(",")}],""" +
+      s""""inrun_p10_4n_mops":[${rounds.map(r => fd(r.inrun4N, 0)).mkString(",")}],""" +
+      s""""bonus_n_sec":[${bonusN.map(b => fd(b._1, 1)).mkString(",")}],""" +
+      s""""bonus_4n_sec":[${bonus4N.map(b => fd(b._1, 1)).mkString(",")}],""" +
+      s""""bonus_inrun_p10_n":[${bonusN.map(b => fd(b._2, 0)).mkString(",")}],""" +
+      s""""bonus_inrun_p10_4n":[${bonus4N.map(b => fd(b._2, 0)).mkString(",")}],""" +
       s""""calibration":{"pure_compute_n_mops":${fd(rounds.map(_.calibN).max, 0)},""" +
       s""""pure_compute_4n_mops":${fd(rounds.map(_.calib4N).max, 0)},""" +
       s""""pure_compute_scaling":${fd(rounds.map(_.calib4N).max / rounds.map(_.calibN).max / 4.0, 3)}}}"""
@@ -255,21 +283,109 @@ object Bench {
       // sample until enough calibration-clean rounds exist for a
       // trustworthy median, and the global best-of is itself in the
       // plausible band (if every N run so far was throttled, it isn't)
-      val globalEff = (rounds.map(_.nSec).min / rounds.map(_.n4Sec).min) / 4.0
+      val globalEff = (allNSec.min / all4NSec.min) / 4.0
       calibCleanRounds.length < targetClean || globalEff > PlausibleEff
     }
     while (r <= maxRounds && (rounds.isEmpty || needMore) &&
            (r == 1 || elapsed + estRoundS <= budgetS)) {
       val cN = calibMops(scaleN)
-      val tN = oneRun(scaleN)
+      val (tN, iN) = oneRun(scaleN)
       val c4N = calibMops(scaleN * 4)
-      val t4N = oneRun(scaleN * 4)
-      rounds += Round(tN, t4N, cN, c4N)
+      val (t4N, i4N) = oneRun(scaleN * 4)
+      rounds += Round(tN, t4N, cN, c4N, iN, i4N)
       // evidence checkpoint per round: the LAST json line on stdout is
       // always the most complete measurement so far
       println(baseJson + "," + scalingJson() + "}")
       Console.out.flush()
       r += 1
+    }
+
+    // Budget tail: single-level BONUS attempts aimed at whichever level's
+    // current best leg is least trustworthy — judged by its in-run p10
+    // relative to the level's peak. A throttled best-N leg UNDERSTATES the
+    // level (overstating efficiency); a throttled best-4N leg overstates
+    // its time (understating efficiency). Converging the less-converged
+    // minimum is the unbiased use of leftover budget; ties go to 4N, which
+    // costs ~1/3 of an N attempt and so buys more attempts per second.
+    // All bonus raw data is emitted; the paired median never sees them.
+    if (rounds.nonEmpty) {
+      def bestLegTrust(level: Int): Double = {
+        val (times, p10s) =
+          if (level == scaleN)
+            (allNSec, rounds.map(_.inrunN).toSeq ++ bonusN.map(_._2))
+          else
+            (all4NSec, rounds.map(_.inrun4N).toSeq ++ bonus4N.map(_._2))
+        val peak = p10s.filter(_ > 0).maxOption.getOrElse(-1.0)
+        val bestIdx = times.indexOf(times.min)
+        val p = p10s(bestIdx)
+        if (p <= 0 || peak <= 0) 1.0 else p / peak
+      }
+      var bonuses = 0
+      def estFor(level: Int): Double =
+        (if (level == scaleN) allNSec.min else all4NSec.min) + 10.0
+      while (bonuses < 4 && {
+        val level =
+          if (bestLegTrust(scaleN) < bestLegTrust(scaleN * 4) - 0.05) scaleN
+          else scaleN * 4
+        if (elapsed + estFor(level) <= budgetS) {
+          val (t, p10) = oneRun(level)
+          if (level == scaleN) bonusN += ((t, p10)) else bonus4N += ((t, p10))
+          println(baseJson + "," + scalingJson() + "}")
+          Console.out.flush()
+          true
+        } else false
+      }) bonuses += 1
+    }
+  }
+
+  /** In-run throttle tracer. Bracketing calibrations can miss a host
+   *  throttle that starts and ends INSIDE a measured run (observed:
+   *  BENCH_local_r4_1200k_run8 round 1 — clean brackets, a 4N leg 35%
+   *  slower than the same config minutes later). One daemon thread runs
+   *  a ~40 ms burst of the same register-only kernel every 2 s (~2% of
+   *  one core — ≤0.15% of a local[16] run's compute) and records each
+   *  burst's Mops; the run's 10th-percentile burst exposes any sustained
+   *  throttled interval. Bursts compete with Spark's own overhead threads
+   *  (shuffle IO, GC) beside the executor threads, so their level sits
+   *  lower at higher parallelism — the discard rule therefore compares
+   *  them PER LEVEL (measured: N legs p10 371-426, 4N legs 151-367 in the
+   *  same windows). */
+  private final class InRunCalib {
+    @volatile private var stopped = false
+    private val samples = scala.collection.mutable.ArrayBuffer[Double]()
+    private val burstIters = 20000000L
+    private val t = new Thread(() => {
+      while (!stopped) {
+        var h = -3750763034362895579L
+        var i = 0L
+        val t0 = System.nanoTime()
+        while (i < burstIters) {
+          h ^= i; h *= 1099511628211L; h ^= (h >>> 33); i += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (h == 42L) println("") // keep the kernel un-eliminable
+        samples.synchronized { samples += (burstIters / 1e6) / sec }
+        try Thread.sleep(1960) catch { case _: InterruptedException => () }
+      }
+    })
+    t.setDaemon(true)
+    def begin(): this.type = { t.start(); this }
+    /** Stop sampling; return the 10th-percentile burst Mops (-1 if no
+     *  samples). A percentile, not the min: a single 40 ms burst can lose
+     *  its core to a scheduler hiccup or a JIT storm, but a sustained
+     *  host throttle (the event worth discarding a round over) slows a
+     *  contiguous band of samples, which p10 catches. */
+    def endAndMin(): Double = {
+      stopped = true
+      t.interrupt()
+      t.join(500)
+      samples.synchronized {
+        if (samples.isEmpty) -1.0
+        else {
+          val s = samples.sorted
+          s((s.length - 1) / 10)
+        }
+      }
     }
   }
 
