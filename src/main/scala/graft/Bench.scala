@@ -181,12 +181,10 @@ object Bench {
       (t, inrunMin)
     }
 
-    // raw per-round records: bracketing calibrations + in-run trace minima
-    final case class Round(nSec: Double, n4Sec: Double,
-                           calibN: Double, calib4N: Double,
-                           inrunN: Double, inrun4N: Double) {
-      def eff: Double = nSec / n4Sec / 4.0
-    }
+    // raw per-round records: bracketing calibrations + in-run trace p10s;
+    // the estimator math lives in graft.bench.ScalingStats (unit-tested)
+    type Round = graft.bench.ScalingStats.Round
+    val Round = graft.bench.ScalingStats.Round
     val rounds = scala.collection.mutable.ArrayBuffer[Round]()
     // bonus single-level attempts from the budget tail (time, in-run p10):
     // they feed ONLY the per-level minima (best-of) and the in-run peaks —
@@ -195,54 +193,24 @@ object Bench {
     val bonus4N = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def allNSec: Seq[Double] = rounds.map(_.nSec).toSeq ++ bonusN.map(_._1)
     def all4NSec: Seq[Double] = rounds.map(_.n4Sec).toSeq ++ bonus4N.map(_._1)
-    // plausible = paired ratio below the physical ceiling; calib-clean =
-    // plausible AND both bracketing calibrations within CalibFloor of
-    // the run's peak at that thread count (the peaks evolve as rounds
-    // accumulate, so classification is re-done against the CURRENT
-    // maxima every time it's needed)
-    def plausibleRounds: Seq[Round] =
-      rounds.filter(_.eff <= PlausibleEff).toSeq
-    def calibCleanRounds: Seq[Round] = {
-      val maxN = rounds.map(_.calibN).max
-      val max4N = rounds.map(_.calib4N).max
-      // in-run trace p10s are compared PER LEVEL: during a 4N leg the
-      // burst thread also competes with Spark's own overhead threads
-      // (shuffle IO, GC) beside the executor threads, so 4N bursts sit
-      // structurally lower than N bursts — only same-level comparisons
-      // isolate host throttling from our own load profile; -1 = no sample
-      val inrunPeakN = (rounds.iterator.map(_.inrunN) ++
-        bonusN.iterator.map(_._2)).filter(_ > 0).maxOption.getOrElse(-1.0)
-      val inrunPeak4N = (rounds.iterator.map(_.inrun4N) ++
-        bonus4N.iterator.map(_._2)).filter(_ > 0).maxOption.getOrElse(-1.0)
-      def inrunOk(v: Double, peak: Double): Boolean =
-        v <= 0 || peak <= 0 || v >= CalibFloor * peak
-      plausibleRounds.filter(r =>
-        r.calibN >= CalibFloor * maxN && r.calib4N >= CalibFloor * max4N &&
-          inrunOk(r.inrunN, inrunPeakN) && inrunOk(r.inrun4N, inrunPeak4N))
-    }
+    // classification + composites: graft.bench.ScalingStats (see its
+    // scaladoc and ScalingStatsSpec for the full rules and the recorded
+    // pathological windows they were built against)
+    def calibCleanRounds: Seq[Round] =
+      graft.bench.ScalingStats.calibClean(rounds.toSeq, PlausibleEff,
+        CalibFloor, bonusN.map(_._2).toSeq, bonus4N.map(_._2).toSeq)
 
     def scalingJson(): String = {
-      val plausible = plausibleRounds
-      val clean = calibCleanRounds
-      // headline efficiency = BEST-OF PER LEVEL over ALL rounds (standard
-      // best-of-N benchmarking): min time per level is the machine's
-      // demonstrated capability — throttling only ever slows a run, so
-      // it cannot fabricate a minimum, and no round selection can bias
-      // this estimator in either direction. Raw times for ALL rounds are
-      // emitted alongside.
+      val st = graft.bench.ScalingStats.composites(rounds.toSeq,
+        PlausibleEff, CalibFloor, bonusN.toSeq, bonus4N.toSeq)
+      val plausible = st.plausible
+      val clean = st.clean
       val thrN = scalePages / allNSec.min
       val thr4N = scalePages / all4NSec.min
-      val eff = (thr4N / thrN) / 4.0
-      // the paired-median IS ratio-based, so it is poisoned by either
-      // side of a round being throttled — computed over calib-clean
-      // rounds (fallback: plausible, then all)
-      val medBase = if (clean.nonEmpty) clean
-                    else if (plausible.nonEmpty) plausible else rounds.toSeq
-      val effs = medBase.map(_.eff).sorted
-      val effPairedMedian =
-        if (effs.size % 2 == 1) effs(effs.size / 2)
-        else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
-      val discarded = rounds.toSeq.diff(medBase)
+      val eff = st.bestOf
+      val medBase = st.medianBase
+      val effPairedMedian = st.pairedMedian
+      val discarded = st.discarded
       s""""scaling":{"pages":$scalePages,"n_threads":$scaleN,"n4_threads":${scaleN * 4},""" +
       s""""rounds_completed":${plausible.length},"rounds_calib_clean":${clean.length},""" +
       s""""rounds_total_run":${rounds.length},""" +
