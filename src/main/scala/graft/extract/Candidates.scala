@@ -51,6 +51,9 @@ object Candidates {
     val toks = s.tokens.toIndexedSeq
     val words = toks.map(_.word)
     val ners = toks.map(_.ner)
+    // lowercase once per sentence: between-windows of different candidate
+    // pairs overlap heavily, and per-pair toLowerCase was measurable
+    val wordsLc = words.map(_.toLowerCase).toArray
     // one deterministic arc pass per sentence; every pair's dependency
     // features walk the same forest
     val arcs = graft.nlp.DepLite.parse(toks)
@@ -73,7 +76,7 @@ object Candidates {
             val entFirst = ent.e <= slot.b
             val (lo, hi) = if (entFirst) (ent.e, slot.b) else (slot.e, ent.b)
             val between = (lo until hi).map(words(_)).toArray
-            val betweenLc = between.map(_.toLowerCase)
+            val betweenLc = java.util.Arrays.copyOfRange(wordsLc, lo, hi)
             // pattern hits computed here where the raw ordered between-window
             // is available; carried as rule=<rel> / trigger=<rel> features so
             // scoring stays a pure function of the feature vector.
