@@ -412,7 +412,18 @@ object SparkEntry {
           round($"recall", 6).as("recall"),
           round($"f1", 6).as("f1"))
         .orderBy($"threshold")
-    })
+    }),
+    // multimodal audio: every 3rd payload a generated PCM WAV that
+    // javax.sound.sampled REALLY decodes (rate/frames/duration and the
+    // exact constant-amplitude RMS are id-arithmetic, full oracle); the
+    // rest exercise the undecodable fallback
+    "q36_audio_features" -> q((s, d) =>
+      graft.multimodal.Multimodal.audioQuery(s, d)),
+    // multimodal video: every id%4==1 payload an RVID clip the bounded
+    // frame sampler really demuxes (dimensions/frame counts/first+last
+    // sampled-frame solid-color means are id-arithmetic, full oracle)
+    "q37_video_features" -> q((s, d) =>
+      graft.multimodal.Multimodal.videoQuery(s, d))
   ) ++ moduleQueries
 
   private final case class GraphFixture(subsidiaries: DataFrame,
@@ -898,7 +909,45 @@ object SparkEntry {
            round(p, 6) AS precision, round(r, 6) AS recall,
            round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
                  ELSE 0.0 END, 6) AS f1
-         FROM pr ORDER BY threshold"""
+         FROM pr ORDER BY threshold""",
+    // q36: the WAV fixture is constant-amplitude mono PCM16 at 8 kHz —
+    // the DECODED sample rate, frame count, exact duration (frames are
+    // multiples of 8) and exact RMS (all samples equal v) are functions
+    // of the id that mirror Multimodal.syntheticWav's arithmetic
+    "q36_audio_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+              ELSE 'application/octet-stream' END AS mime,
+         (doc_id % 3 = 0) AS decoded,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE -1 END AS INTEGER) AS sample_rate,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS INTEGER) AS channels,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 400 + (doc_id % 5) * 80 ELSE -1 END AS BIGINT) AS frames,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN (400 + (doc_id % 5) * 80) / 8 ELSE -1 END AS BIGINT) AS duration_ms,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 + (doc_id * 131) % 15000 ELSE -1 END AS BIGINT) AS amp_rms
+         FROM documents ORDER BY media_id""",
+    // q37: RVID clips are solid-color frames; the sampler always includes
+    // frame 0 and frame n-1, n = 2 + (id % 7) % 4, so the first/last
+    // channel means mirror Multimodal.syntheticRawVideo's arithmetic
+    "q37_video_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 4 = 1 THEN 'video/x-rvid'
+              ELSE 'application/octet-stream' END AS mime,
+         (doc_id % 4 = 1) AS decoded,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN 4 + doc_id % 5 ELSE -1 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN 4 + doc_id % 3 ELSE -1 END AS INTEGER) AS height,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN 2 + (doc_id % 7) % 4 ELSE -1 END AS INTEGER) AS n_frames,
+         CAST(CASE WHEN doc_id % 4 = 1
+              THEN least(4, 2 + (doc_id % 7) % 4) ELSE 0 END AS INTEGER) AS n_sampled,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id * 11) % 256 ELSE -1 END AS INTEGER) AS first_r,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id * 13) % 256 ELSE -1 END AS INTEGER) AS first_g,
+         CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id * 17) % 256 ELSE -1 END AS INTEGER) AS first_b,
+         CAST(CASE WHEN doc_id % 4 = 1
+              THEN (doc_id * 11 + (1 + (doc_id % 7) % 4) * 7) % 256 ELSE -1 END AS INTEGER) AS last_r,
+         CAST(CASE WHEN doc_id % 4 = 1
+              THEN (doc_id * 13 + (1 + (doc_id % 7) % 4) * 17) % 256 ELSE -1 END AS INTEGER) AS last_g,
+         CAST(CASE WHEN doc_id % 4 = 1
+              THEN (doc_id * 17 + (1 + (doc_id % 7) % 4) * 29) % 256 ELSE -1 END AS INTEGER) AS last_b
+         FROM documents ORDER BY media_id"""
   )
 
   /** DuckDB mirror of TextStats.rollingMin (generated: the k polynomial

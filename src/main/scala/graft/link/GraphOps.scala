@@ -88,15 +88,18 @@ object GraphOps {
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
-      val next = und.join(labels.withColumnRenamed("v", "dst")
+      // planBarrier, not a bare persist: `labels` is referenced twice per
+      // round, so persisting alone re-nests the previous round's LOGICAL
+      // PLAN ~2x per round — exponential plan-tree growth that OOMs the
+      // planner on high-diameter graphs long before the 50-round cap
+      // (the data itself is tiny); the barrier truncates the Catalyst
+      // plan while keeping deterministic unpersist semantics
+      val next = planBarrier(spark,
+        und.join(labels.withColumnRenamed("v", "dst")
           .withColumnRenamed("comp", "ncomp"), Seq("dst"))
         .groupBy($"src".as("v")).agg(min($"ncomp").as("minNbr"))
         .join(labels, Seq("v"))
-        .select($"v", least($"comp", $"minNbr").as("comp"))
-        .persist()
-      // ONE action per round: the convergence check is the materializing
-      // count (no separate count() job), and the superseded labels'
-      // cache is released before the next round
+        .select($"v", least($"comp", $"minNbr").as("comp"))).persist()
       val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
         .filter($"comp" =!= $"old").count()
       if (i > 0) labels.unpersist()
@@ -113,6 +116,108 @@ object GraphOps {
           "inspect the alias graph for a pathological chain")
     labels
   }
+
+  /** G6 at web scale: connected components via ALTERNATING
+   *  large-star/small-star (Kiveris et al., "Connected Components in
+   *  MapReduce and Beyond", SoCC 2014 — a public algorithm, not reference
+   *  code). Where min-label propagation needs ~diameter rounds, the
+   *  alternation contracts paths aggressively and converges in O(log n)
+   *  rounds on ANY graph shape — the right choice for the distributed
+   *  linking path, whose alias chains have no diameter guarantee (the
+   *  min-label variant above fails loudly past its cap; this one makes the
+   *  cap unreachable for any input that fits a cluster).
+   *
+   *  Invariant: the working edge set is kept oriented u > v and distinct.
+   *   - large-star: every neighbor LARGER than u links to
+   *     m = min(N(u) ∪ {u}) — new edges (bigger, m) keep the orientation.
+   *   - small-star: per u, all (smaller-or-equal) neighbors AND u itself
+   *     link to m = min neighbor.
+   *  Fixpoint = the edge set is unchanged by a round; it is then a star
+   *  forest (v, root-of-component) and labels read off directly. Same
+   *  output schema as connectedComponents: (v, comp) for EVERY vertex of
+   *  the input, comp = min vertex id of its component. */
+  def connectedComponentsStar(spark: SparkSession, edges: DataFrame,
+                              maxIter: Int = 30): DataFrame = {
+    import spark.implicits._
+    // full vertex set up front: self-loop-only and isolated-in-filtered
+    // vertices must still get a (v, v) label
+    val verts = edges.select($"src".as("v"))
+      .union(edges.select($"dst".as("v"))).distinct().persist()
+    // each round reads `e` from several operators (the symmetric view is
+    // consumed by both the min-aggregate and the join), so every round's
+    // working set goes through planBarrier + persist: the barrier
+    // truncates the CATALYST PLAN (with persist alone the plan tree
+    // re-nests the previous round's plan ~8x per round — exponential
+    // growth that OOMs the AQE explain-string builder long before the
+    // data is big), while plain persist/unpersist keeps cache cleanup
+    // deterministic (a localCheckpoint's RDD blocks would outlive any
+    // release() the linker can offer its callers)
+    var e = edges.filter($"src" =!= $"dst")
+      .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
+      .distinct().persist()
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric view
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val mL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      val large = planBarrier(spark,
+        sym.join(mL, "u").filter($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v"))
+          .filter($"u" =!= $"v").distinct()).persist()
+      // small-star over the (still u > v oriented) large output
+      val mS = large.groupBy($"u").agg(min($"v").as("m"))
+      val next = planBarrier(spark,
+        large.join(mS, "u")
+          .select(explode(array(
+            struct($"v".as("a"), $"m".as("b")),
+            struct($"u".as("a"), $"m".as("b")))).as("p"))
+          .select($"p.a".as("x"), $"p.b".as("y"))
+          .filter($"x" =!= $"y")
+          .select(greatest($"x", $"y").as("u"), least($"x", $"y").as("v"))
+          .distinct()).persist()
+      // fixpoint test: next == e as sets (both distinct) — equal counts
+      // plus an empty one-way anti-join
+      val nextCount = next.count()
+      val diff = next.join(e, Seq("u", "v"), "left_anti").count()
+      large.unpersist()
+      e.unpersist()
+      converged = nextCount == eCount && diff == 0L
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    if (!converged) {
+      e.unpersist(); verts.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter " +
+          "alternation rounds — O(log n) convergence makes this " +
+          "unreachable for any real input; inspect the edge table")
+    }
+    // star forest -> labels; group defensively (a star root is unique per
+    // non-root vertex at the fixpoint, min() is a no-op then). Persisted +
+    // materialized so e's and verts' caches can drop NOW; the caller owns
+    // the returned table's unpersist (Linker.canonicalize does so once its
+    // alias table is built).
+    val nonRoot = e.groupBy($"u".as("v")).agg(min($"v").as("comp"))
+    val labels = planBarrier(spark,
+      verts.join(nonRoot, Seq("v"), "left")
+        .select($"v", coalesce($"comp", $"v").as("comp"))).persist()
+    labels.count()
+    e.unpersist(); verts.unpersist()
+    labels
+  }
+
+  /** Truncate a DataFrame's Catalyst plan to a LogicalRDD over its own
+   *  row RDD. The ROW data is untouched and still computed lazily; only
+   *  the plan tree is cut, so iterative algorithms whose round N+1 plan
+   *  references round N's plan multiple times stay O(1) in plan size
+   *  instead of exponential. (The RDD lineage underneath is a shared DAG
+   *  of objects — it cannot blow up the planner.) Unlike localCheckpoint
+   *  this keeps persist/unpersist fully caller-controlled. */
+  private def planBarrier(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(df.rdd, df.schema)
 
   /** C10 within-sentence competition (process/RelationFilter.java:23-160,
    *  PerRelTypeCompetitionFilterComponent): keep only the best-scoring

@@ -314,8 +314,11 @@ object Linker {
         // distributed fixpoint: CC over the (undirected) pair graph, then
         // component representative = maximal surface form — the same
         // min-under-repOrdering choice as the driver fold, expressed as
-        // min(struct(-length, name)) so it is a plain hash aggregate
-        val comps = GraphOps.connectedComponents(spark,
+        // min(struct(-length, name)) so it is a plain hash aggregate.
+        // Large-star/small-star, not min-label propagation: alias chains
+        // have no diameter guarantee at web scale, and the alternation
+        // converges in O(log n) rounds on any shape (GraphOps scaladoc)
+        val comps = GraphOps.connectedComponentsStar(spark,
           pairsDs.toDF("src", "dst"))
         val rep = comps.groupBy($"comp")
           .agg(min(struct((-length($"v")).as("nl"), $"v".as("n")))

@@ -127,6 +127,279 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---------------------------------------------------------------------
+  // Audio: REAL decode via javax.sound.sampled (pure JDK — WAV/AIFF/AU PCM
+  // need no external codec). Compressed codecs (mp3/aac) are absent from
+  // the JDK, so those payloads take the same byte-histogram fallback the
+  // schema already declares.
+  // ---------------------------------------------------------------------
+
+  /** decoded=false rows carry -1 sentinels; amp_rms is the root-mean-square
+   *  16-bit sample amplitude of the (possibly strided) probe. */
+  final case class AudioFeatures(media_id: Long, mime: String, n_bytes: Int,
+                                 decoded: Boolean, sample_rate: Int,
+                                 channels: Int, frames: Long,
+                                 duration_ms: Long, amp_rms: Double)
+
+  /** Real audio decode: container/encoding via AudioSystem, PCM samples
+   *  streamed (converted to 16-bit signed PCM when the source encoding
+   *  differs). Frame probes are STRIDED to a bounded count (<= 65536) so a
+   *  10-hour payload costs the same as a jingle — the image decoder's
+   *  subsampling rule applied to the time axis. None when no JDK reader
+   *  accepts the bytes. */
+  def decodeAudio(media: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      val f = in.getFormat
+      val frames = in.getFrameLength
+      if (frames <= 0 || f.getSampleRate <= 0) return None
+      val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      val s = if (f.matches(pcm)) in
+              else AudioSystem.getAudioInputStream(pcm, in)
+      val frameBytes = 2 * f.getChannels
+      val stride = math.max(1L, frames / 65536L)
+      var sumSq = 0.0
+      var n = 0L
+      var idx = 0L
+      val buf = new Array[Byte](frameBytes * 1024)
+      var carry = 0 // bytes of a split frame carried between reads
+      var eof = false
+      while (!eof) {
+        val r = s.read(buf, carry, buf.length - carry)
+        if (r <= 0) eof = true
+        else {
+          val avail = carry + r
+          val fullFrames = avail / frameBytes
+          var i = 0
+          while (i < fullFrames) {
+            if (idx % stride == 0L) {
+              // probe channel 0 of this frame (little-endian 16-bit)
+              val o = i * frameBytes
+              val v = ((buf(o + 1) << 8) | (buf(o) & 0xFF)).toShort.toDouble
+              sumSq += v * v
+              n += 1
+            }
+            idx += 1
+            i += 1
+          }
+          val used = fullFrames * frameBytes
+          carry = avail - used
+          if (carry > 0) System.arraycopy(buf, used, buf, 0, carry)
+        }
+      }
+      s.close()
+      if (n == 0) None
+      else Some((f.getSampleRate.toInt, f.getChannels, frames,
+        math.sqrt(sumSq / n)))
+    } catch { case _: Exception => None }
+  }
+
+  def extractAudioOne(r: MediaRow): AudioFeatures = decodeAudio(r.media) match {
+    case Some((rate, ch, frames, rms)) =>
+      AudioFeatures(r.media_id, r.mime, r.n_bytes, decoded = true, rate, ch,
+        frames, frames * 1000L / rate, rms)
+    case None =>
+      AudioFeatures(r.media_id, r.mime, r.n_bytes, decoded = false,
+        -1, -1, -1L, -1L, -1.0)
+  }
+
+  /** Batched audio feature extraction (same per-partition shape as
+   *  extractFeatures). */
+  def extractAudio(spark: SparkSession,
+                   media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(extractAudioOne))
+  }
+
+  /** Deterministic constant-amplitude mono 16-bit PCM WAV (hand-rolled
+   *  RIFF container — no encoder variance). Every sample is the same value
+   *  v(id), so the decoded RMS is EXACTLY v (n·v² sums, divides and roots
+   *  exactly in doubles for v < 2^16), the frame count is exact, and
+   *  duration_ms divides exactly (frames are multiples of 8 at 8 kHz) —
+   *  all arithmetic a SQL oracle recomputes from the id. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000
+    val frames = 400 + (id % 5).toInt * 80
+    val v = (1000 + (id * 131) % 15000).toShort
+    val dataLen = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) { bb.putShort(v); i += 1 }
+    bb.array()
+  }
+
+  /** Driver query: every 3rd payload is a generated WAV that
+   *  javax.sound.sampled REALLY decodes (rate/frames/duration/RMS are
+   *  id-arithmetic the oracle recomputes); the rest are md5 bytes hitting
+   *  the undecodable fallback. amp_rms is emitted as BIGINT — exact for
+   *  the constant-amplitude fixture (see syntheticWav). */
+  def audioQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        if (id % 3 == 0) {
+          val wav = syntheticWav(id)
+          MediaRow(id, wav, "audio/wav", wav.length)
+        } else {
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          MediaRow(id, b, "application/octet-stream", b.length)
+        }
+      }
+    extractAudio(spark, media).toDF()
+      .select(col("media_id"), col("mime"), col("decoded"),
+        col("sample_rate"), col("channels"), col("frames"),
+        col("duration_ms"), col("amp_rms").cast("bigint").as("amp_rms"))
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Video: no codec ships with the JDK, so the DECODE is a declared
+  // deterministic raw container ("RVID": magic + big-endian u16 w, h,
+  // nFrames + nFrames raw w*h*3 RGB frames) — but the Spark-side plumbing
+  // (schema, partition batching, bounded FRAME SAMPLING, per-frame channel
+  // stats) is the real thing a JNI/ffmpeg decoder would slot into.
+  // ---------------------------------------------------------------------
+
+  final case class VideoFeatures(media_id: Long, mime: String,
+                                 decoded: Boolean, width: Int, height: Int,
+                                 n_frames: Int, n_sampled: Int,
+                                 first_r: Int, first_g: Int, first_b: Int,
+                                 last_r: Int, last_g: Int, last_b: Int)
+
+  /** Frames probed per video (evenly spaced across the time axis — a
+   *  2-hour payload costs the same as a clip). */
+  val MaxSampledFrames = 4
+
+  /** Evenly spaced sample indices over [0, nFrames): always includes the
+   *  first and last frame; at most MaxSampledFrames probes. */
+  def sampleIndices(nFrames: Int): Array[Int] = {
+    val k = math.min(MaxSampledFrames, nFrames)
+    if (k <= 1) Array(0)
+    else Array.tabulate(k)(j => (j.toLong * (nFrames - 1) / (k - 1)).toInt)
+  }
+
+  /** Parse + frame-sample an RVID payload: header-validated, then only the
+   *  sampled frames' pixels are touched (seek-by-offset, the access shape
+   *  a real demuxer gives). Returns (w, h, nFrames, per-sampled-frame RGB
+   *  means). None on bad magic / truncated payload. */
+  def decodeRawVideo(media: Array[Byte])
+      : Option[(Int, Int, Int, Array[Array[Double]])] = {
+    if (media.length < 10 || media(0) != 'R' || media(1) != 'V' ||
+        media(2) != 'I' || media(3) != 'D') return None
+    def u16(o: Int): Int = ((media(o) & 0xFF) << 8) | (media(o + 1) & 0xFF)
+    val w = u16(4); val h = u16(6); val n = u16(8)
+    val frameLen = w * h * 3
+    if (w <= 0 || h <= 0 || n <= 0 ||
+        media.length != 10 + frameLen.toLong * n) return None
+    val means = sampleIndices(n).map { f =>
+      val base = 10 + f * frameLen
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < frameLen) {
+        r += media(base + i) & 0xFF
+        g += media(base + i + 1) & 0xFF
+        b += media(base + i + 2) & 0xFF
+        i += 3
+      }
+      val px = (w * h).toDouble
+      Array(r / px, g / px, b / px)
+    }
+    Some((w, h, n, means))
+  }
+
+  def extractVideoOne(r: MediaRow): VideoFeatures = decodeRawVideo(r.media) match {
+    case Some((w, h, n, means)) =>
+      val first = means.head; val last = means.last
+      VideoFeatures(r.media_id, r.mime, decoded = true, w, h, n, means.length,
+        first(0).round.toInt, first(1).round.toInt, first(2).round.toInt,
+        last(0).round.toInt, last(1).round.toInt, last(2).round.toInt)
+    case None =>
+      VideoFeatures(r.media_id, r.mime, decoded = false, -1, -1, -1, 0,
+        -1, -1, -1, -1, -1, -1)
+  }
+
+  def extractVideo(spark: SparkSession,
+                   media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(extractVideoOne))
+  }
+
+  /** Deterministic RVID payload: solid-color frames whose per-frame color
+   *  is id+frame arithmetic — so the first/last sampled frame means are
+   *  exact integers a SQL oracle recomputes. */
+  def syntheticRawVideo(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 4 + (id % 3).toInt
+    // modulus co-prime to the query's id%4==1 assignment, so clip lengths
+    // (and hence sampled-frame counts) actually vary across the fixture
+    val n = 2 + ((id % 7) % 4).toInt
+    val out = new Array[Byte](10 + w * h * 3 * n)
+    out(0) = 'R'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    def putU16(o: Int, v: Int): Unit = {
+      out(o) = ((v >> 8) & 0xFF).toByte; out(o + 1) = (v & 0xFF).toByte
+    }
+    putU16(4, w); putU16(6, h); putU16(8, n)
+    var f = 0
+    while (f < n) {
+      val r = ((id * 11 + f * 7) % 256).toByte
+      val g = ((id * 13 + f * 17) % 256).toByte
+      val b = ((id * 17 + f * 29) % 256).toByte
+      val base = 10 + f * w * h * 3
+      var i = 0
+      while (i < w * h * 3) {
+        out(base + i) = r; out(base + i + 1) = g; out(base + i + 2) = b
+        i += 3
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Driver query: every 4th-minus-1 payload is an RVID clip the frame
+   *  sampler really demuxes (dimensions, frame counts and the first/last
+   *  sampled frame's exact solid-color means are id-arithmetic); the rest
+   *  are md5 bytes hitting the bad-magic fallback. */
+  def videoQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        if (id % 4 == 1) {
+          val v = syntheticRawVideo(id)
+          MediaRow(id, v, "video/x-rvid", v.length)
+        } else {
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          MediaRow(id, b, "application/octet-stream", b.length)
+        }
+      }
+    extractVideo(spark, media).toDF()
+      .select(col("media_id"), col("mime"), col("decoded"), col("width"),
+        col("height"), col("n_frames"), col("n_sampled"),
+        col("first_r"), col("first_g"), col("first_b"),
+        col("last_r"), col("last_g"), col("last_b"))
+      .orderBy("media_id")
+  }
+
   /** Query for the driver harness, exercising BOTH payload paths: every
    *  5th media_id carries a real (deterministically generated) PNG that
    *  decodeImage must actually decode — dimensions and solid-color channel

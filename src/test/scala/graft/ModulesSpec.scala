@@ -41,6 +41,62 @@ class ModulesSpec extends AnyFunSuite {
     assert(math.abs(fb.features.drop(3).sum - 1.0f) < 1e-5) // histogram L1
   }
 
+  test("multimodal: real WAV decode via javax.sound.sampled; fallback flagged") {
+    import graft.multimodal.Multimodal
+    // hand-rolled constant-amplitude PCM16 WAV: id=6 -> 8000 Hz mono,
+    // frames = 400 + (6%5)*80 = 480, every sample = 1000 + (6*131)%15000
+    val wav = Multimodal.syntheticWav(6L)
+    val rows = Seq(
+      Multimodal.MediaRow(6L, wav, "audio/wav", wav.length),
+      Multimodal.MediaRow(7L, Array[Byte](9, 9, 9, 9),
+        "application/octet-stream", 4))
+    val out = Multimodal.extractAudio(spark, rows.toDS())
+      .collect().sortBy(_.media_id)
+    val ok = out(0)
+    assert(ok.decoded && ok.sample_rate == 8000 && ok.channels == 1)
+    assert(ok.frames == 480L && ok.duration_ms == 60L)
+    assert(ok.amp_rms == (1000 + 6 * 131 % 15000).toDouble) // exact: constant signal
+    val fb = out(1)
+    assert(!fb.decoded && fb.sample_rate == -1 && fb.amp_rms == -1.0)
+    // a NON-constant signal: RMS of alternating +/-v is still v, but a
+    // square wave with differing magnitudes must mix them — decode a
+    // 4-frame WAV with samples (3, 4, 3, 4): rms = sqrt((9+16+9+16)/4)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    Seq(3, 4, 3, 4).foreach(v => bb.putShort(v.toShort))
+    val mixed = Multimodal.extractAudioOne(
+      Multimodal.MediaRow(8L, bb.array(), "audio/wav", bb.array().length))
+    assert(mixed.decoded && mixed.frames == 4L)
+    assert(math.abs(mixed.amp_rms - math.sqrt(12.5)) < 1e-12)
+  }
+
+  test("multimodal: RVID frame sampling touches first/mid/last frames only") {
+    import graft.multimodal.Multimodal
+    // id=9 -> w=4+4=8... (9%5=4), h=4+0=4 (9%3=0), n=2+(9%7)%4=4
+    val v = Multimodal.syntheticRawVideo(9L)
+    val got = Multimodal.extractVideoOne(
+      Multimodal.MediaRow(9L, v, "video/x-rvid", v.length))
+    assert(got.decoded && got.width == 8 && got.height == 4)
+    assert(got.n_frames == 4 && got.n_sampled == 4)
+    assert(got.first_r == (9 * 11) % 256 && got.first_g == (9 * 13) % 256)
+    assert(got.last_r == (9 * 11 + 3 * 7) % 256)
+    assert(got.last_b == (9 * 17 + 3 * 29) % 256)
+    // sampling is BOUNDED: a 100-frame clip probes MaxSampledFrames
+    // evenly spaced frames including both endpoints
+    val idx = Multimodal.sampleIndices(100)
+    assert(idx.length == Multimodal.MaxSampledFrames)
+    assert(idx.head == 0 && idx.last == 99 && idx.sameElements(idx.sorted))
+    // truncated payload -> fallback, never a partial decode
+    val bad = Multimodal.extractVideoOne(
+      Multimodal.MediaRow(10L, v.dropRight(1), "video/x-rvid", v.length - 1))
+    assert(!bad.decoded && bad.n_sampled == 0)
+  }
+
   test("Evaluate.prf computes P/R/F1") {
     val got = Seq(("A", "p", "x"), ("A", "p", "y"), ("B", "q", "z"))
       .toDF("subj", "pred", "obj")
@@ -113,6 +169,33 @@ class ModulesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
     assert(comp("x") == "x" && comp("y") == "x")
+  }
+
+  test("GraphOps.connectedComponentsStar == min-label on a mixed graph") {
+    // chain + triangle + isolated self-loop + star: every shape at once
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("p", "q"), ("q", "r"), ("r", "p"),
+      ("z", "z"),
+      ("h", "h1"), ("h", "h2"), ("h", "h3")).toDF("src", "dst")
+    val star = GraphOps.connectedComponentsStar(spark, edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val minl = GraphOps.connectedComponents(spark, edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == minl)
+    assert(star.contains(("z", "z"))) // self-loop-only vertex keeps a label
+  }
+
+  test("GraphOps.connectedComponentsStar converges on a long chain in O(log n) rounds") {
+    // diameter 120: min-label propagation would need ~120 rounds (its
+    // default cap of 50 fails loudly); the star alternation contracts it
+    // within its 30-round cap — the web-scale alias-chain case
+    val n = 120
+    val edges = (0 until n).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
+      .toDF("src", "dst")
+    val comp = GraphOps.connectedComponentsStar(spark, edges).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(comp.length == n + 1)
+    assert(comp.forall(_._2 == "v000")) // one component, min label
   }
 
   test("Readers: query XML, gold key and KB TSV round-trip") {
