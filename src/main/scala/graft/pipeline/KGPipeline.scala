@@ -201,12 +201,29 @@ object KGPipeline {
       (s, p.doc_id, p.url, p.sent_idx, p.ent_b, p.ent_e, p.slot_b, p.slot_e)
     }
 
-  /** Scala twin of Linker.idCol (same md5-hex format). */
+  /** Scala twin of Linker.idCol (same md5-hex format). Runs twice per
+   *  output triple inside the fused consistency shuffle, so the digest is
+   *  thread-local (MessageDigest.getInstance per row showed up in executor
+   *  stack samples) and hex goes through a table, not a format call. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def entityId(name: String, tpe: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val h = md.digest((tpe + "|" + name).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    "e:" + tpe.substring(0, math.min(3, tpe.length)).toLowerCase + ":" + h
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((h(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(h(i) & 0xF)
+      i += 1
+    }
+    "e:" + tpe.substring(0, math.min(3, tpe.length)).toLowerCase + ":" +
+      new String(out)
   }
 
   /** Symmetric relations (G4, SymmetricFunctionRewritePostProcessor):

@@ -99,6 +99,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"alias join shuffled:\n$plan")
   }
 
+  test("IVF probe prunes the list_id-partitioned assigned table at the scan") {
+    import spark.implicits._
+    import graft.dedup.NearDup
+    // the 100-TB deployment shape: fit once, WRITE the assigned table
+    // partitioned by list_id, probe many — each probe's list filter must
+    // become PARTITION PRUNING at the parquet scan (read ~nProbe/nLists
+    // of the corpus), not a post-scan Filter over everything
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = NearDup.ivfFit(spark, emb, nLists = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val onDisk = NearDup.IvfIndex(spark.read.parquet(tmp), idx.centers)
+    val query = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head().toArray
+    val probe = NearDup.ivfProbe(spark, onDisk, query, k = 5, nProbe = 2)
+    val rows = probe.collect()
+    assert(rows.length == 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"list filter did not reach the scan as partition pruning:\n$plan")
+    // and the probed lists match the in-memory index's answer exactly
+    val inMem = NearDup.ivfProbe(spark, idx, query, k = 5, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+      .sameElements(inMem))
+  }
+
   test("the full official ontology is extracted end-to-end") {
     import spark.implicits._
     val (pages, gold) = graft.fixtures.PageGen.corpus(120)
