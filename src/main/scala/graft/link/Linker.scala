@@ -216,6 +216,10 @@ object Linker {
     driverAliasMap(pairs)
   }
 
+  /** Probe-only accessor for tools measuring the serial driver segment. */
+  def driverAliasMapProbe(pairs: Array[(String, String)]): Map[String, String] =
+    driverAliasMap(pairs)
+
   /** Union-find fold over an in-memory pair set (exact fixpoint). */
   private def driverAliasMap(pairs: Array[(String, String)])
       : Map[String, String] = {
