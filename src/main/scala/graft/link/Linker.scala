@@ -98,11 +98,18 @@ object Linker {
     import spark.implicits._
     // distinct names first: a hot entity appearing in 10^6 fills must send
     // ONE row per partition into the key shuffle (map-side combine), not
-    // 10^6 duplicates into its block
-    val names = fills.flatMap { f =>
-      Seq((f.subj, f.subj_type)) ++
-        (if (NER.isEntityType(f.obj_type)) Seq((f.obj, f.obj_type)) else Nil)
-    }.distinct()
+    // 10^6 duplicates into its block. Column ops up to the distinct: the
+    // name projection reads 2 columns out of the (columnar) fills cache
+    // and stays in codegen — a typed flatMap here deserialized every
+    // SlotFill (nested Provenance included) just to emit two strings,
+    // which was the stage's measured cost at 1.2M pages.
+    val df = fills.toDF()
+    val names = df.select($"subj".as("_1"), $"subj_type".as("_2"))
+      .unionAll(df
+        .filter($"obj_type".isin(NER.PERSON, NER.ORGANIZATION))
+        .select($"obj".as("_1"), $"obj_type".as("_2")))
+      .distinct()
+      .as[(String, String)]
     names.flatMap { case (n, t) =>
       blockKeys(n, t).map(k => (k, n))
     }.groupByKey(_._1).flatMapGroups { (key, it) =>

@@ -159,38 +159,69 @@ object KGPipeline {
    *  run group-locally; the separate triple-merge exchange disappears. */
   def consistentTriples(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[Triple] = {
     import spark.implicits._
-    fills.groupByKey(_.subj).flatMapGroups { (groupSubj, it) =>
-      val group = distinctFills(it)
-      val kept = Consistency.entityPass(group)
-      // official rename + per-key noisy-or merge (deterministic: scores
-      // sorted before the log-domain sum, result rounded like
-      // aggregateBags; provenance = lexicographic argmax)
-      val acc = scala.collection.mutable.LinkedHashMap[
-        (String, String, String, String),
-        (List[Double], (Double, Provenance))]()
-      kept.foreach { f =>
-        val pred = Relations.officialName(f.pred)
-        val k = (f.subj_type, pred, f.obj, f.obj_type)
-        val sp = (f.score, f.prov)
-        acc.get(k) match {
-          case Some((scores, best)) =>
-            acc(k) = (f.score :: scores,
-              if (provOrdering.gt(sp, best)) sp else best)
-          case None => acc(k) = (List(f.score), sp)
-        }
+    // One shuffle on the canonical subject, expressed as column-level
+    // repartition + 1-column sort + a run-grouping mapPartitions instead
+    // of typed groupByKey: groupByKey(_.subj) deserializes every SlotFill
+    // BEFORE the exchange just to append a key that already exists as a
+    // column, then sorts on the appended key anyway (flatMapGroups is
+    // sort-based). The column form keeps rows unsafe end-to-end and
+    // deserializes once, after the sort — measured 2x on this stage at
+    // 1.2M pages (JobBProbe), where the stage was allocation-bound, not
+    // skew-bound (max group 39 rows).
+    fills.toDF().repartition($"subj").sortWithinPartitions($"subj")
+      .as[SlotFill].mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Iterator[Triple]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[Triple] = {
+            val groupSubj = buf.head.subj
+            val run = scala.collection.mutable.ArrayBuffer[SlotFill]()
+            while (buf.hasNext && buf.head.subj == groupSubj) run += buf.next()
+            groupTriples(groupSubj, run)
+          }
+        }.flatten
       }
-      acc.iterator.map { case ((st, pred, obj, ot), (scores, (_, prov))) =>
-        val merged = noisyOr(scores)
-        Triple(groupSubj, entityId(groupSubj, st), st, pred, obj,
-          entityId(obj, ot), ot, merged, prov.doc_id, prov.url, prov.sent_idx)
+  }
+
+  /** One canonical subject's fills -> consistent merged triples (the
+   *  X13-X18 pass + official rename + noisy-or edge merge + Triple
+   *  projection, group-local). */
+  private def groupTriples(groupSubj: String,
+                           run: scala.collection.Seq[SlotFill]): Iterator[Triple] = {
+    val group = distinctFills(run.iterator)
+    val kept = Consistency.entityPass(group)
+    // official rename + per-key noisy-or merge (deterministic: scores
+    // sorted before the log-domain sum, result rounded like
+    // aggregateBags; provenance = lexicographic argmax)
+    val acc = scala.collection.mutable.LinkedHashMap[
+      (String, String, String, String),
+      (List[Double], (Double, Provenance))]()
+    kept.foreach { f =>
+      val pred = Relations.officialName(f.pred)
+      val k = (f.subj_type, pred, f.obj, f.obj_type)
+      val sp = (f.score, f.prov)
+      acc.get(k) match {
+        case Some((scores, best)) =>
+          acc(k) = (f.score :: scores,
+            if (provOrdering.gt(sp, best)) sp else best)
+        case None => acc(k) = (List(f.score), sp)
       }
+    }
+    acc.iterator.map { case ((st, pred, obj, ot), (scores, (_, prov))) =>
+      val merged = noisyOr(scores)
+      Triple(groupSubj, entityId(groupSubj, st), st, pred, obj,
+        entityId(obj, ot), ot, merged, prov.doc_id, prov.url, prov.sent_idx)
     }
   }
 
   /** Scala twin of the SQL merge: 1 - prod(1-s) in the log domain, terms
    *  sorted (order-independent), rounded to 12 decimals, capped at 1. */
   private def noisyOr(scores: List[Double]): Double = {
-    val s = scores.map(x => math.log1p(-math.min(x, 1.0))).sorted.sum
+    // singleton fast path (the overwhelmingly common case once bags are
+    // pre-merged): a 1-element map/sort/sum is the element itself
+    val s =
+      if (scores.tail.isEmpty) math.log1p(-math.min(scores.head, 1.0))
+      else scores.map(x => math.log1p(-math.min(x, 1.0))).sorted.sum
     math.min(1.0,
       BigDecimal(1.0 - math.exp(s)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
