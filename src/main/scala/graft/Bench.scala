@@ -78,10 +78,20 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Distributed synthetic pages (pure function of the index). */
+  /** Distributed synthetic pages (pure function of the index).
+   *  4 input slices per core, not 1: spark.range(n)'s default gives one
+   *  task per core, so the dominant NLP/extract job ends when the
+   *  SLOWEST core ends — no straggler amortization, and per-page cost
+   *  varies by template. Measured at 300k pages over 3 interleaved
+   *  rounds (tools/SliceProbe, best-of per config): 4 slices/core is
+   *  faster at BOTH levels (local[4] 40.9 s vs 41.9; local[16] 12.2 s
+   *  vs 13.3) and lifts N->4N best-of efficiency 0.788 -> 0.838;
+   *  8 slices/core over-fragments and loses the gain. Same rule as a
+   *  real cluster: 2-4 waves of tasks per stage, never exactly one. */
   private def pagesDs(spark: SparkSession, n: Int) = {
     import spark.implicits._
-    spark.range(n).map(i => graft.fixtures.PageGen.page(i.toInt)._1)
+    val slices = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, n, 1, slices).map(i => graft.fixtures.PageGen.page(i.toInt)._1)
   }
 
   private def kgRun(spark: SparkSession, n: Int): (Long, Double) = {
