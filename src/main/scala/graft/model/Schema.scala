@@ -102,12 +102,13 @@ final case class Triple(
     prov_url: String,
     prov_sent_idx: Int)
 
-/** Per-partition stage metrics (north_star: mentions/sec, triples/partition,
- *  link-resolution rate). */
+/** Per-partition stage metrics (north_star: triples/partition, alongside
+ *  the run-level `metrics` table's mentions/sec and link-resolution rate).
+ *  Rows are derived from the `_run_id`/`_part_id` lineage columns every
+ *  checkpointed stage snapshot carries; written to the
+ *  `metrics_partitions` table by [[graft.pipeline.KGPipeline.run]]. */
 final case class StageMetric(
     run_id: String,
     stage: String,
     part_id: Int,
-    rows_in: Long,
-    rows_out: Long,
-    millis: Long)
+    rows: Long)

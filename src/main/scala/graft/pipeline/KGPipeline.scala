@@ -370,6 +370,20 @@ object KGPipeline {
         t.write("metrics", ms.toDF("run_id", "stage", "rows", "millis")
           .withColumn("rows_per_sec",
             col("rows") / greatest(col("millis"), lit(1L)) * 1000))
+      // north_star per-partition extraction metrics: mentions/partition and
+      // triples/partition, read off the `_run_id`/`_part_id` lineage columns
+      // the snapshots carry (a column-pruned 2-column scan + one small agg;
+      // checkpointed path only — the bench hot loop runs with io=None)
+      val perPart = Seq("fills_raw" -> "mentions", "triples" -> "triples")
+        .flatMap { case (table, stage) =>
+          t.read(table).map(df => df.groupBy("_run_id", "_part_id").count()
+            .select(col("_run_id").as("run_id"), lit(stage).as("stage"),
+              col("_part_id").cast("int").as("part_id"),
+              col("count").as("rows")))
+        }
+      if (perPart.nonEmpty)
+        t.write("metrics_partitions",
+          perPart.reduce(_ unionAll _).as[StageMetric].toDF())
       // every stage is materialized in its snapshot table by now — drop
       // the linker's intra-run persists so repeated checkpointed runs in
       // one session don't accumulate cached blocks

@@ -49,6 +49,21 @@ class PipelineE2ESpec extends AnyFunSuite {
     val first = KGPipeline.run(spark, pagesDs, Some(io)).collect()
       .map(t => (t.subj, t.pred, t.obj)).toSet
     assert(first == triples)
+    // north_star metrics land with the snapshots: per-partition counts
+    // (metrics_partitions, from the lineage columns) must reconcile with
+    // the materialized tables, and the run-level table carries the
+    // link-resolution telemetry + rows/sec. Checked against the FIRST
+    // run's snapshots: a resumed run recomputes nothing, so its metrics
+    // rewrite carries only the stages it actually ran.
+    val perPart = io.read("metrics_partitions").getOrElse(fail("no metrics_partitions"))
+    val byStage = perPart.groupBy("stage").sum("rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("triples") == first.size.toLong)
+    assert(byStage("mentions") == io.read("fills_raw").get.count())
+    assert(perPart.filter("part_id < 0").count() == 0)
+    val runMetrics = io.read("metrics").getOrElse(fail("no metrics table"))
+    assert(runMetrics.columns.contains("rows_per_sec"))
+    assert(runMetrics.filter("stage = 'link_aliases'").count() >= 1)
     // simulate a restart: a fresh run must read the committed snapshots
     // (we prove it by corrupting nothing and checking snapshot reuse), and
     // produce identical triples
