@@ -94,6 +94,7 @@ object Main {
     val submitted = new SparkConf().contains("spark.master")
     val builder = SparkSession.builder()
       .appName("graft-kg")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
     val spark =

@@ -317,9 +317,11 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val q = e.filter($"vec_id" === 0)
         .select($"embedding".as("qe"))
-      val dot = expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      val na = expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-      val nb = expr("aggregate(qe, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+      // fused native kernels — codegen'd, bit-identical to the HOF folds
+      // they replace (functions/VectorExpressions.scala, VectorExprSpec)
+      val dot = graft.functions.vec.dot($"embedding", $"qe")
+      val na = graft.functions.vec.normSq($"embedding")
+      val nb = graft.functions.vec.normSq($"qe")
       e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
         .select($"vec_id", round(dot / sqrt(na * nb), 5).as("cos"))
         .orderBy($"cos".desc, $"vec_id").limit(10)
@@ -465,13 +467,9 @@ object SparkEntry {
       // sign-random-projection LSH bucketing (scale path for ANN): 8 fixed
       // hyperplanes -> 8-bit bucket -> per-bucket brute force
       val e = t(s, d, "embeddings")
-      val bits = (0 until 8).map { j =>
-        val proj = expr(
-          s"""aggregate(zip_with(embedding, sequence(0, size(embedding)-1),
-              (x, i) -> CAST(x AS DOUBLE) * (CAST((i * 31 + $j * 17) % 7 AS DOUBLE) - 3.0)),
-              CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
+      // one-pass native SRP bucket (functions/VectorExpressions.scala) —
+      // same fixed-hyperplane family the former 8 HOF folds computed
+      val bits = graft.functions.vec.srpBucket($"embedding", 8)
       e.withColumn("bucket", bits)
         .groupBy($"bucket").agg(count(lit(1)).as("n"),
           // sorted string join, not a raw ARRAY: keeps the column hashable

@@ -64,9 +64,12 @@ object NearDup {
     s
   }
 
-  private val cosDot = expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-  private val cosNa = expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-  private val cosNb = expr("aggregate(qe, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+  // fused native kernels (functions/VectorExpressions.scala) — bit-identical
+  // to the former aggregate(zip_with(...)) HOF folds, but codegen'd and
+  // allocation-free (VectorExprSpec pins doubleToRawLongBits equality)
+  private val cosDot = graft.functions.vec.dot(col("embedding"), col("qe"))
+  private val cosNa = graft.functions.vec.normSq(col("embedding"))
+  private val cosNb = graft.functions.vec.normSq(col("qe"))
 
   /** IVF (inverted-file) ANN fit — the coarse-quantizer scale path beside
    *  the SRP-LSH one: a k-means quantizer partitions the corpus into
@@ -135,10 +138,7 @@ object NearDup {
     // per-centroid squared L2 as a higher-order-function column; argmin
     // via array_min over (distance, cid) structs (struct ordering)
     val distStructs = cents.map { case (cid, ce) =>
-      val dist = aggregate(
-        zip_with($"embedding", typedLit(ce.toSeq),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      val dist = graft.functions.vec.l2sq($"embedding", typedLit(ce.toSeq))
       struct(dist.as("d"), lit(cid).as("c"))
     }
     emb.filter($"vec_id" =!= queryId)
@@ -170,21 +170,17 @@ object NearDup {
                       maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val bucketBits = (0 until bits).map { j =>
-      val proj = expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding)-1),
-            (x, i) -> CAST(x AS DOUBLE) * (CAST((i * 31 + $j * 17) % 7 AS DOUBLE) - 3.0)),
-            CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    // one-pass native SRP bucket (was `bits` separate HOF folds, each
+    // materializing a zipped intermediate array per row)
+    val bucketBits = graft.functions.vec.srpBucket($"embedding", bits)
     val w = Window.partitionBy($"bucket").orderBy($"vec_id")
     val b = emb.withColumn("bucket", bucketBits)
       .withColumn("_rn", row_number().over(w))
       .filter($"_rn" <= maxBucket).drop("_rn")
       .persist()
-    val dot = expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    def norm(side: String) = expr(
-      s"sqrt(aggregate($side.embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val dot = graft.functions.vec.dot($"a.embedding", $"b.embedding")
+    def norm(side: String) =
+      sqrt(graft.functions.vec.normSq(col(s"$side.embedding")))
     b.as("a").join(b.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
