@@ -152,10 +152,15 @@ object NearDup {
   /** Bits for the SRP-LSH bucket space as a function of corpus size:
    *  buckets sized ~targetBucket vectors so the in-bucket exact pass
    *  stays bounded — at 10^9 vectors this yields ~24 bits, never the
-   *  fixed-8 of the sf-scale demos (bits must scale with log n). */
+   *  fixed-8 of the sf-scale demos (bits must scale with log n).
+   *  CLAMPED at 31: the bucket id is a signed int, so past ~1.4×10^11
+   *  vectors (2^31 buckets × targetBucket=64) mean bucket size grows
+   *  linearly instead — still bounded by `maxBucket`'s cap, and the
+   *  unclamped value would have overflowed `1 << j` into colliding
+   *  buckets silently. */
   def autoBits(nVectors: Long, targetBucket: Int = 64): Int =
-    math.max(8, math.ceil(math.log(math.max(1.0,
-      nVectors.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    math.min(31, math.max(8, math.ceil(math.log(math.max(1.0,
+      nVectors.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
   /** Embedding-cosine near-dup: sign-random-projection LSH bucket join,
    *  exact cosine inside buckets only. Pass bits = autoBits(n) at scale.

@@ -182,6 +182,10 @@ class DedupSpec extends AnyFunSuite {
     assert(autoBits(500) == 8)          // sf scale: floor
     assert(autoBits(1000000) >= 14)     // 10^6 vectors
     assert(autoBits(1000000000L) >= 23) // 10^9 vectors: ~16M buckets
+    // clamp: a 10^12-vector corpus wants 34 bits, but the bucket id is a
+    // signed int — unclamped, 1 << 34 would silently collide buckets
+    assert(autoBits(1000000000000L) == 31)
+    assert(autoBits(Long.MaxValue) == 31)
   }
 
   test("trainer weights round-trip through parquet") {
