@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{SrpBucket, VecDot, VecL2Sq}
 
@@ -42,10 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("srp_bucket", classOf[SrpBucket]),
       (args: Seq[Expression]) => {
         require(args.length == 2, "srp_bucket(a, bits) takes exactly 2 arguments")
+        // any foldable integer works (8+4, CAST(12 AS INT), a BIGINT
+        // literal) — the docs promise "foldable", not "bare literal"
         val bits = args(1) match {
-          case Literal(v: Int, _) => v
+          case e if e.resolved && e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"srp_bucket bits must be an integer, got $other")
+          }
           case other => throw new IllegalArgumentException(
-            s"srp_bucket bits must be an integer literal, got $other")
+            s"srp_bucket bits must be a foldable integer expression, got $other")
         }
         SrpBucket(args(0), bits)
       }))

@@ -32,9 +32,13 @@ import org.apache.spark.sql.types._
  *    (zip_with pads with null), nulls the whole result; empty arrays
  *    fold to 0.0.
  *  - `SrpBucket`: a null projection makes `when(proj >= 0, bit)` take
- *    the `otherwise(0)` branch, so a null element (or a null array)
- *    yields bucket 0, never null; an EMPTY array folds every projection
- *    to 0.0 which is >= 0, so all bits set — same as the HOF form.
+ *    the `otherwise(0)` branch, so a null element, a null array, or an
+ *    EMPTY array (where `sequence(0, size-1)` = [0,-1] pads the zip
+ *    with nulls, nulling the projection) yields bucket 0, never null.
+ *    A NaN projection (e.g. an Inf element times a zero hyperplane
+ *    weight) SETS the bit: Spark SQL orders NaN greater than every
+ *    value, so `NaN >= 0` is true — mirrored with `!(s < 0.0)`, since
+ *    Java's `NaN >= 0.0` is false.
  *
  * Registered for SQL users as `vec_dot` / `vec_l2sq` / `srp_bucket` via
  * [[GraftExtensions]] (`spark.sql.extensions=graft.GraftExtensions`);
@@ -85,8 +89,10 @@ abstract class VecFold extends BinaryExpression {
   // null even for non-null inputs: length mismatch / null element
   override def nullable: Boolean = true
 
-  private def leftElem = left.dataType.asInstanceOf[ArrayType].elementType
-  private def rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+  // lazy vals: the interpreted path reads these per ELEMENT — a def would
+  // re-pay the cast + match every iteration
+  private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
 
   /** The fused per-element term, interpreted path. */
   protected def term(x: Double, y: Double): Double
@@ -170,13 +176,14 @@ case class SrpBucket(child: Expression, bits: Int)
   // the HOF form's when/otherwise never yields null (see object scaladoc)
   override def nullable: Boolean = false
 
-  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return 0
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (n == 0) return 0 // HOF form: sequence pads the zip -> null proj -> 0
     var i = 0
     while (i < n) { if (a.isNullAt(i)) return 0; i += 1 }
     var bucket = 0
@@ -188,7 +195,7 @@ case class SrpBucket(child: Expression, bits: Int)
         s += elemAt(elem, a, i) * (((i * 31 + j * 17) % 7).toDouble - 3.0)
         i += 1
       }
-      if (s >= 0.0) bucket |= 1 << j
+      if (!(s < 0.0)) bucket |= 1 << j // NaN sets the bit, like Spark's >=
       j += 1
     }
     bucket
@@ -210,7 +217,7 @@ case class SrpBucket(child: Expression, bits: Int)
         |if (!${c.isNull}) {
         |  org.apache.spark.sql.catalyst.util.ArrayData $a = ${c.value};
         |  final int $n = $a.numElements();
-        |  boolean $ok = true;
+        |  boolean $ok = $n > 0; // empty array -> bucket 0 (HOF parity)
         |  for (int $i = 0; $i < $n; $i++) {
         |    if ($a.isNullAt($i)) { $ok = false; break; }
         |  }
@@ -220,7 +227,7 @@ case class SrpBucket(child: Expression, bits: Int)
         |      for (int $i = 0; $i < $n; $i++) {
         |        $s += $x * ((double) (($i * 31 + $j * 17) % 7) - 3.0);
         |      }
-        |      if ($s >= 0.0) ${ev.value} |= (1 << $j);
+        |      if (!($s < 0.0)) ${ev.value} |= (1 << $j); // NaN sets (Spark >=)
         |    }
         |  }
         |}

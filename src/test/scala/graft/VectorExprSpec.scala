@@ -81,10 +81,34 @@ class VectorExprSpec extends AnyFunSuite {
       if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
     }
     assert(got.count(_.isNullAt(0)) == 3)
-    // srp_bucket: null element / null array -> 0; empty array -> all bits
-    // (projection 0.0 >= 0), exactly the when/otherwise HOF behavior
+    // srp_bucket: null element / null array / EMPTY array -> 0 — the HOF
+    // form's sequence(0, size-1) on an empty array is [0,-1], padding the
+    // zip with nulls, so every projection is null -> otherwise(0)
     val sb = df.select(vec.srpBucket($"b", 4).as("s")).collect().map(_.getInt(0))
-    assert(sb(0) == 0 && sb(2) == 0 && sb(3) == 15)
+    assert(sb(0) == 0 && sb(2) == 0 && sb(3) == 0)
+  }
+
+  test("srp_bucket HOF parity on the degenerate inputs: empty array and NaN projections") {
+    // empty array, and [Inf] (hyperplane weight 0 at i=0 for some j ->
+    // Inf * 0.0 = NaN projection; Spark SQL orders NaN >= 0 as TRUE)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+         (CAST(array() AS ARRAY<FLOAT>)),
+         (array(CAST('Infinity' AS FLOAT))),
+         (array(CAST('-Infinity' AS FLOAT), CAST('Infinity' AS FLOAT))) AS t(a)""")
+      .repartition(2) // force codegen, not LocalTableScan constant folding
+    val bits = 6
+    val hofBits = (0 until bits).map { j =>
+      val proj = expr(
+        s"""aggregate(zip_with(a, sequence(0, size(a)-1),
+            (x, i) -> CAST(x AS DOUBLE) * (CAST((i * 31 + $j * 17) % 7 AS DOUBLE) - 3.0)),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val rows = df.select(vec.srpBucket($"a", bits).as("n"), hofBits.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"native ${r.getInt(0)} != hof ${r.getInt(1)}"))
   }
 
   test("interpreted eval path agrees with codegen (direct Expression.eval)") {
