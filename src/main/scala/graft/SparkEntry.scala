@@ -265,52 +265,33 @@ object SparkEntry {
         .select($"d1", $"d2", $"i")
         .orderBy($"d1", $"d2")
     }),
-    "q19_docs_minhash_lsh" -> q((s, d) => {
+    // MinHash+LSH near-dup candidate edges (star edges per band, linear in
+    // bucket size — the degenerate-bucket story lives on the shared impl,
+    // dedup/NearDup.minhashStarEdges)
+    "q19_docs_minhash_lsh" -> q((s, d) =>
+      graft.dedup.NearDup.minhashStarEdges(s, t(s, d, "documents"))
+        .orderBy(col("d1"), col("d2"))),
+    // end-to-end crawl dedup: q19's edges -> connected components ->
+    // canonical election (max tokens, min doc_id) -> keep/drop verdict
+    // for every doc; the oracle closes the same star edges with a
+    // recursive CTE and elects with the same ordering
+    "q38_docs_dedup_cluster" -> q((s, d) =>
+      graft.dedup.NearDup.dedupClusters(s, t(s, d, "documents"))),
+    // deterministic stratified sample: k smallest md5(doc_id) per lang —
+    // two-phase (salted partial top-k, then exact top-k over the bounded
+    // remainder) so no stratum is ever sorted in one task
+    "q39_docs_sample_stratified" -> q((s, d) => {
       import s.implicits._
-      // MinHash+LSH near-dup: 8 md5 minhashes -> 2 bands -> per-band STAR
-      // EDGES to each bucket's min-doc_id representative, NOT all pairs
-      // within the bucket. A degenerate bucket (this corpus: 2.3k of 5k
-      // docs share one band value; a template-heavy crawl does the same)
-      // makes within-bucket pairs quadratic — 4.4M pairs here, death at
-      // 100 TB — while star edges are LINEAR in bucket size and give the
-      // SAME connected components (every member links to the rep), which
-      // is what dedup consumes. No cap, no dropped docs.
-      // NO distinct before the min-agg: min() is idempotent over duplicate
-      // words, so deduping first would only add a full extra shuffle of the
-      // exploded corpus
-      // 4 md5 calls per word, not 8: one 128-bit md5 yields TWO
-      // independent 64-bit minhash functions (its hex halves — the
-      // halves of a cryptographic hash are independently uniform), and
-      // the halves are projected BEFORE the aggregate so each md5 is
-      // evaluated once. The md5 family (not xxhash64) is deliberate:
-      // DuckDB recomputes the identical fingerprint for the oracle.
-      val w = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .select($"doc_id" +: (0 until 4).map(k =>
-          md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
-        .select($"doc_id" +: (0 until 8).map(k =>
-          substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
-      val hs = (0 until 8).map(k => min(col(s"p$k")).as(s"h$k"))
-      val m = w.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
-      // materialize the signature table once: it feeds BOTH sides of BOTH
-      // band joins, and without the checkpoint Spark recomputes the whole
-      // explode+minhash subtree for each use (at scale you'd persist the
-      // signatures the same way)
-      val b = m.select($"doc_id",
-        md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
-        md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
-        .localCheckpoint(true)
-      // per band: bucket rep = min(doc_id); edge (rep, member) for every
-      // other member. The rep table is tiny (one row per bucket) — the
-      // join shuffles on the band key only
-      def starEdges(band: String) = {
-        val reps = b.groupBy(col(band)).agg(min($"doc_id").as("d1"))
-        b.join(reps, band).where($"doc_id" > $"d1")
-          .select($"d1", $"doc_id".as("d2"))
-      }
-      starEdges("b1").union(starEdges("b2"))
-        .distinct().orderBy($"d1", $"d2")
+      graft.text.Curation.stratifiedSample(
+          t(s, d, "documents"), "lang", k = 20)
+        .select($"doc_id", $"lang").orderBy($"doc_id")
     }),
+    // token-budget shard packing via a DISTRIBUTED prefix sum (per-block
+    // running sums + a tiny cumulative offset table — never one global
+    // unpartitioned window); blockSize 100 so sf0.01 exercises >1 block
+    "q40_docs_pack_shards" -> q((s, d) =>
+      graft.text.Curation.packShards(s, t(s, d, "documents"),
+        budget = 2000L, blockSize = 100L)),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -649,6 +630,67 @@ object SparkEntry {
                UNION
                SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1)
          SELECT DISTINCT d1, d2 FROM e ORDER BY d1, d2""",
+    // q38: q19's star edges, closed into components by a recursive CTE
+    // (UNION dedups, so the closure terminates at the reachable-pair
+    // fixpoint), cluster label = min reachable doc_id (identical to
+    // Spark's min-label propagation fixpoint), election by
+    // (n_tokens DESC, doc_id ASC) via row_number
+    "q38_docs_dedup_cluster" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         hm AS (SELECT doc_id, md5('0'||word) AS m0, md5('1'||word) AS m1,
+                       md5('2'||word) AS m2, md5('3'||word) AS m3 FROM w),
+         m AS (SELECT doc_id,
+           min(substr(m0, 1, 16)) AS h0, min(substr(m0, 17, 16)) AS h1,
+           min(substr(m1, 1, 16)) AS h2, min(substr(m1, 17, 16)) AS h3,
+           min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
+           min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
+           FROM hm GROUP BY 1),
+         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m),
+         r1 AS (SELECT b1 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         r2 AS (SELECT b2 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         e AS (SELECT r1.d1, b.doc_id AS d2 FROM b JOIN r1 ON b.b1 = r1.bucket WHERE b.doc_id > r1.d1
+               UNION
+               SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1),
+         und AS (SELECT d1 AS a, d2 AS bb FROM e UNION SELECT d2, d1 FROM e),
+         reach(a, bb) AS (SELECT a, bb FROM und
+                          UNION
+                          SELECT r.a, u.bb FROM reach r JOIN und u ON r.bb = u.a),
+         comp AS (SELECT a AS doc_id, least(a, min(bb)) AS cluster FROM reach GROUP BY a),
+         toks AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+                  FROM documents),
+         lab AS (SELECT t.doc_id, coalesce(c.cluster, t.doc_id) AS cluster, t.n_tokens
+                 FROM toks t LEFT JOIN comp c USING (doc_id)),
+         canon AS (SELECT cluster, doc_id AS canon_doc FROM (
+                     SELECT cluster, doc_id,
+                       row_number() OVER (PARTITION BY cluster
+                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
+                     FROM lab) WHERE rn = 1)
+         SELECT lab.doc_id, lab.cluster, lab.n_tokens,
+           (lab.doc_id = canon.canon_doc) AS keep
+         FROM lab JOIN canon USING (cluster) ORDER BY lab.doc_id""",
+    // q39: the salt only routes rows to stage-1 subgroups (the two-phase
+    // top-k is exact), so the oracle needs no salt — one row_number per
+    // stratum reproduces the result
+    "q39_docs_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 20 ORDER BY doc_id""",
+    // q40: the oracle's single global window IS the semantics; the Spark
+    // side computes the same exclusive prefix sum distributed (per-block
+    // windows + cumulative block offsets)
+    "q40_docs_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM t)
+         SELECT doc_id, n_tokens, pre // 2000 AS shard
+         FROM p ORDER BY doc_id""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

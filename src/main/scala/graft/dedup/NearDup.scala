@@ -50,6 +50,93 @@ object NearDup {
       sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
       i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""")
 
+  /** MinHash+LSH near-dup candidate edges: 8 md5 minhashes → 2 bands →
+   *  per-band STAR EDGES to each bucket's min-doc_id representative, NOT
+   *  all pairs within the bucket. A degenerate bucket (a template-heavy
+   *  crawl routinely puts half the corpus in one band value) makes
+   *  within-bucket pairs quadratic — death at 100 TB — while star edges
+   *  are LINEAR in bucket size and give the SAME connected components
+   *  (every member links to the rep), which is what dedup consumes.
+   *  No cap, no dropped docs.
+   *
+   *  4 md5 calls per word, not 8: one 128-bit md5 yields TWO independent
+   *  64-bit minhash functions (its hex halves), projected BEFORE the
+   *  aggregate so each md5 is evaluated once. The md5 family (not
+   *  xxhash64) is deliberate: DuckDB recomputes the identical
+   *  fingerprint for the oracle. No distinct before the min-agg: min()
+   *  is idempotent over duplicate words, so deduping first would only
+   *  add a full extra shuffle of the exploded corpus.
+   *
+   *  Returns (d1, d2) with d1 < d2, distinct across bands. */
+  def minhashStarEdges(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .select($"doc_id" +: (0 until 4).map(k =>
+        md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
+      .select($"doc_id" +: (0 until 8).map(k =>
+        substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
+    val hs = (0 until 8).map(k => min(col(s"p$k")).as(s"h$k"))
+    val m = w.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+    // materialize the signature table once: it feeds BOTH sides of BOTH
+    // band joins, and without the checkpoint Spark recomputes the whole
+    // explode+minhash subtree for each use (at scale you'd persist the
+    // signatures the same way)
+    val b = m.select($"doc_id",
+      md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
+      md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
+      .localCheckpoint(true)
+    // per band: bucket rep = min(doc_id); edge (rep, member) for every
+    // other member. The rep table is tiny (one row per bucket) — the
+    // join shuffles on the band key only
+    def starEdges(band: String) = {
+      val reps = b.groupBy(col(band)).agg(min($"doc_id").as("d1"))
+      b.join(reps, band).where($"doc_id" > $"d1")
+        .select($"d1", $"doc_id".as("d2"))
+    }
+    starEdges("b1").union(starEdges("b2")).distinct()
+  }
+
+  /** End-to-end crawl dedup: MinHash star edges → connected components →
+   *  per-cluster canonical election → a keep/drop verdict for EVERY doc.
+   *
+   *  The canonical is the cluster member with the most tokens (ties: min
+   *  doc_id) — "keep the longest copy" is the usual curation rule when
+   *  near-dups differ by truncation. Docs in no cluster keep themselves.
+   *
+   *  Scale shape: edges are linear in corpus size (star edges, no
+   *  all-pairs), components converge in ~diameter min-label rounds
+   *  (star graphs: a handful), and the election is ONE extra shuffle on
+   *  the cluster key (struct-max aggregate, map-side combinable) plus a
+   *  broadcast-size join back — nothing here is quadratic in a cluster's
+   *  size, so a 10^8-doc template cluster costs the same per-row work as
+   *  a pair. Returns (doc_id, cluster, n_tokens, keep) ordered by doc_id. */
+  def dedupClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = minhashStarEdges(spark, docs)
+      .select($"d1".as("src"), $"d2".as("dst"))
+    // the O(log n)-round large/small-star variant: band reps CAN chain
+    // (doc in bucket A's star is the rep of bucket B), so no diameter
+    // guarantee exists on a pathological crawl — same (v, comp = min id)
+    // contract as min-label propagation
+    val comps = graft.link.GraphOps.connectedComponentsStar(spark, edges)
+      .withColumnRenamed("v", "doc_id")
+    val toks = docs.select($"doc_id",
+      regexp_count($"text", lit("\\S+")).cast("int").as("n_tokens"))
+    val labeled = toks.join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster"),
+        $"n_tokens")
+    // struct-max election: (n_tokens desc, doc_id asc) — negating the id
+    // inside the struct makes one max() pick both criteria in one pass
+    val canon = labeled.groupBy($"cluster")
+      .agg(max(struct($"n_tokens".as("t"), (-$"doc_id").as("nid"))).as("m"))
+      .select($"cluster", (-$"m.nid").as("canon_doc"))
+    labeled.join(canon, Seq("cluster"))
+      .select($"doc_id", $"cluster", $"n_tokens",
+        ($"doc_id" === $"canon_doc").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** IVF index: the assigned table (vec_id, embedding, list_id) plus the
    *  driver-resident centroid table (nLists entries). At 100 TB the
    *  assigned table is WRITTEN ONCE partitioned by list_id (the fit is

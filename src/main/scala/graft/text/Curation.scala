@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data prep: deterministic
+ * stratified sampling and token-budget shard packing. Both are exact and
+ * engine-reproducible (md5 ranks, integer arithmetic — no RNG state), so
+ * a DuckDB oracle recomputes them row for row.
+ *
+ * Both are written for the 100-TB shape, not just correctness:
+ * stratified sampling never sorts a whole stratum in one task (salted
+ * two-phase top-k), and packing never runs a global unpartitioned window
+ * (per-block prefix sums + a tiny broadcast offset table).
+ */
+object Curation {
+
+  /** Deterministic "reservoir": keep the k smallest md5(doc_id) per
+   *  stratum. md5 over the id is a fixed uniform permutation, so this is
+   *  an unbiased sample any engine reproduces bit-for-bit.
+   *
+   *  Scale shape: a giant stratum (half the crawl is English) would make
+   *  a single `row_number() OVER (PARTITION BY stratum)` sort billions of
+   *  rows in ONE task. Instead: stage 1 takes the per-(stratum, salt)
+   *  top-k over `salts` hash-split subgroups (each subgroup sorts only
+   *  its own slice), shrinking a stratum to ≤ salts·k rows; stage 2 takes
+   *  the exact top-k over that bounded remainder. Any row in the true
+   *  top-k is also in its salt-group's top-k, so the two-phase result is
+   *  exact. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int,
+                       salts: Int = 64): DataFrame = {
+    val r = md5(col("doc_id").cast("string"))
+    val salt = pmod(xxhash64(col("doc_id")), lit(salts))
+    val stage1 = docs
+      .withColumn("_r", r).withColumn("_s", salt)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(stratumCol), col("_s"))
+          .orderBy(col("_r"), col("doc_id"))))
+      .filter(col("_rn") <= k).drop("_rn", "_s")
+    stage1
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(col("_r"), col("doc_id"))))
+      .filter(col("_rn") <= k).drop("_rn", "_r")
+  }
+
+  /** Pack docs (in doc_id order) into training shards of ~`budget` tokens:
+   *  shard = floor(exclusive-prefix-sum(tokens) / budget). A doc that
+   *  straddles a boundary belongs to the shard its first token falls in —
+   *  the greedy rule sequence-packing pipelines use.
+   *
+   *  Scale shape: the naive `sum() OVER (ORDER BY doc_id)` with no
+   *  PARTITION BY is a single-task scan of the corpus. Instead the
+   *  prefix sum is distributed: block = doc_id / blockSize; per-block
+   *  running sums partition by block (bounded tasks), block TOTALS form a
+   *  tiny table (corpus/blockSize rows) whose cumulative offsets are the
+   *  only unpartitioned window — over rows numbering ~10^6 at 10^12 docs
+   *  — then offset + within-block prefix is joined back broadcast-style.
+   *  Returns (doc_id, n_tokens, shard). */
+  def packShards(spark: SparkSession, docs: DataFrame, budget: Long,
+                 blockSize: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select($"doc_id",
+      regexp_count($"text", lit("\\S+")).cast("long").as("n_tokens"),
+      ($"doc_id" / blockSize).cast("long").as("_blk"))
+    val inBlk = toks.withColumn("_pre",
+      sum($"n_tokens").over(Window.partitionBy($"_blk").orderBy($"doc_id"))
+        - $"n_tokens")
+    val offsets = toks.groupBy($"_blk")
+      .agg(sum($"n_tokens").as("_tot"))
+      .withColumn("_off",
+        coalesce(sum($"_tot").over(
+          Window.orderBy($"_blk").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"_blk", $"_off")
+    inBlk.join(broadcast(offsets), Seq("_blk"))
+      .select($"doc_id", $"n_tokens",
+        (($"_pre" + $"_off") / budget).cast("long").as("shard"))
+      .orderBy($"doc_id")
+  }
+}

@@ -25,6 +25,34 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("dedup clusters: canonical keeps the longest copy, singletons keep themselves") {
+    // 1/4 exact dups (same minhash → same bands → clustered); 5 is doc 1's
+    // text plus a suffix — longer, so IF it lands in the cluster it must
+    // win the election; 3 is a singleton and must keep itself
+    val five = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog yes indeed")
+    ).toDF("doc_id", "text")
+    val out = NearDup.dedupClusters(spark, five).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("keep")))).toMap
+    assert(out.size == 5)
+    // every doc appears exactly once and every cluster elects exactly one keeper
+    val byCluster = out.values.groupBy(_._1)
+    byCluster.foreach { case (_, ms) => assert(ms.count(_._2) == 1) }
+    // exact dups 1 and 4 share a cluster, labeled by the min member
+    assert(out(1L)._1 == out(4L)._1 && out(1L)._1 == 1L)
+    assert(out(3L)._1 == 3L && out(3L)._2) // singleton keeps itself
+    // within 1's cluster the longest member is the keeper (5 if present, else 1)
+    val c1 = out.filter(_._2._1 == out(1L)._1)
+    val keeper = c1.find(_._2._2).get._1
+    if (c1.contains(5L)) assert(keeper == 5L) else assert(keeper == 1L)
+    assert(!out(4L)._2) // the shorter exact dup never survives
+  }
+
   test("ngram Jaccard finds the near-dup pair and not the distinct one") {
     val pairs = NearDup.ngramJaccard(spark, docs, n = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet

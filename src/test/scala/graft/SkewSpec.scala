@@ -97,4 +97,22 @@ class SkewSpec extends AnyFunSuite {
     val out = graft.pipeline.KGPipeline.consistent(spark, fills)
     assert(out.count() == 5001)
   }
+
+  test("10k identical docs: dedup clusters stay linear, one cluster, one keeper") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // a template-heavy crawl's worst case: every doc hashes to the same
+    // bands. Star edges keep the candidate set LINEAR (n-1 edges, not
+    // n²/2 pairs) and the election keeps exactly one doc
+    val docs = (0L until 10000L)
+      .map(i => (i, "boilerplate cookie banner page"))
+      .toDF("doc_id", "text")
+    val edges = graft.dedup.NearDup.minhashStarEdges(spark, docs)
+    assert(edges.count() == 9999) // member->rep only, never all pairs
+    val out = graft.dedup.NearDup.dedupClusters(spark, docs)
+    assert(out.count() == 10000)
+    assert(out.filter($"keep").count() == 1)
+    assert(out.select("cluster").distinct().count() == 1)
+    assert(out.filter($"keep").select("doc_id").head().getLong(0) == 0L)
+  }
 }
