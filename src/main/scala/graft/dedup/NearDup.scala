@@ -67,11 +67,20 @@ object NearDup {
    *  is idempotent over duplicate words, so deduping first would only
    *  add a full extra shuffle of the exploded corpus.
    *
+   *  shingle=1 hashes single words (the oracle'd q19/q38 form); a
+   *  larger shingle hashes word n-grams instead, which sharpens the
+   *  similarity the bands detect (templated pages sharing vocabulary
+   *  but not phrasing stop colliding) at the same plan shape.
+   *
    *  Returns (d1, d2) with d1 < d2, distinct across bands. */
-  def minhashStarEdges(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashStarEdges(spark: SparkSession, docs: DataFrame,
+                       shingle: Int = 1): DataFrame = {
     import spark.implicits._
+    val unit =
+      if (shingle <= 1) split($"text", " ")
+      else shingleCol("text", shingle)
     val w = docs
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .select($"doc_id", explode(unit).as("word"))
       .select($"doc_id" +: (0 until 4).map(k =>
         md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
       .select($"doc_id" +: (0 until 8).map(k =>
@@ -111,9 +120,16 @@ object NearDup {
    *  broadcast-size join back — nothing here is quadratic in a cluster's
    *  size, so a 10^8-doc template cluster costs the same per-row work as
    *  a pair. Returns (doc_id, cluster, n_tokens, keep) ordered by doc_id. */
-  def dedupClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def dedupClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    dedupVerdicts(spark, docs).orderBy(col("doc_id"))
+
+  /** dedupClusters without the presentation sort — the form pipelines
+   *  compose (a global orderBy is pure cost when the consumer is a
+   *  semi-join on the keepers). */
+  def dedupVerdicts(spark: SparkSession, docs: DataFrame,
+                    shingle: Int = 1): DataFrame = {
     import spark.implicits._
-    val edges = minhashStarEdges(spark, docs)
+    val edges = minhashStarEdges(spark, docs, shingle)
       .select($"d1".as("src"), $"d2".as("dst"))
     // the O(log n)-round large/small-star variant: band reps CAN chain
     // (doc in bucket A's star is the rep of bucket B), so no diameter
@@ -134,7 +150,6 @@ object NearDup {
     labeled.join(canon, Seq("cluster"))
       .select($"doc_id", $"cluster", $"n_tokens",
         ($"doc_id" === $"canon_doc").as("keep"))
-      .orderBy($"doc_id")
   }
 
   /** IVF index: the assigned table (vec_id, embedding, list_id) plus the

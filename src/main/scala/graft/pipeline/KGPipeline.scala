@@ -38,6 +38,44 @@ object KGPipeline {
    *  TableIO.ensureVersion refuses to resume a mismatched run dir. */
   val PipelineVersion = "v2"
 
+  /** Stage 0 (optional): crawl-level duplicate removal BEFORE any NLP —
+   *  at web scale the single biggest compute saving available (a crawl
+   *  is routinely 30-50% duplicate; every page dropped here skips
+   *  tokenize/NER/coref/scoring entirely).
+   *
+   *  Default mode (near=false) is EXACT content dedup: keep the min-url
+   *  page per md5(text) — recrawls and mirrors. One hash shuffle, zero
+   *  recall risk, and the triple set is PROVABLY unchanged including
+   *  scores: a dropped page is byte-identical to its keeper, so its
+   *  mention bag contributions are exact duplicates the bag noisy-or
+   *  already merges — only prov_url can differ. This is the mode
+   *  `run(dedup=true)` wires in.
+   *
+   *  near=true is curation-grade MinHash clustering (star edges →
+   *  connected components → longest-copy election, NearDup.dedupVerdicts
+   *  over 3-gram shingles): it also drops NEAR-duplicates — templated
+   *  pages carrying different entities — trading extraction recall for
+   *  corpus size, which is the right trade for training-data prep and
+   *  the wrong default for KG recall. Pages are keyed by xxhash64(url)
+   *  for the election's total order; a 64-bit collision merely makes two
+   *  pages share a verdict row, so a collision can never DROP a
+   *  non-duplicate page, only fail to drop a duplicate. */
+  def dedupPages(spark: SparkSession, pages: Dataset[Page],
+                 near: Boolean = false): Dataset[Page] = {
+    import spark.implicits._
+    if (!near) {
+      val keep = pages.groupBy(md5($"text").as("_h"))
+        .agg(min($"url").as("url")).select($"url")
+      pages.join(keep, Seq("url"), "left_semi").as[Page]
+    } else {
+      val ids = pages.select(xxhash64($"url").as("doc_id"), $"text")
+      val keep = graft.dedup.NearDup.dedupVerdicts(spark, ids, shingle = 3)
+        .filter($"keep").select($"doc_id")
+      pages.join(keep, xxhash64(pages("url")) === keep("doc_id"), "left_semi")
+        .as[Page]
+    }
+  }
+
   /** Stage 1: NLP annotate (tokenize/ssplit/pos/ner/coref), early gates
    *  inside the partition (lang + length — Catalyst can't invent these). */
   def sentences(spark: SparkSession, pages: Dataset[Page]): Dataset[Sentence] = {
@@ -310,7 +348,8 @@ object KGPipeline {
    *  snapshot; per-stage metrics land in a `metrics` table. */
   def run(spark: SparkSession, pages: Dataset[Page],
           io: Option[TableIO] = None,
-          runId: String = "run-0"): Dataset[Triple] = {
+          runId: String = "run-0",
+          dedup: Boolean = false): Dataset[Triple] = {
     import spark.implicits._
     // refuse to resume snapshots written by an incompatible pipeline layout
     io.foreach(_.ensureVersion(PipelineVersion))
@@ -333,7 +372,22 @@ object KGPipeline {
           }
         case None => ds
       }
-    val sents = ckpt("sentences", sentences(spark, pages))
+    // optional stage 0: crawl dedup — only the kept-page COUNT is
+    // checkpoint-worthy (the pages themselves flow straight into NLP;
+    // re-deduping on resume is cheaper than snapshotting the corpus)
+    val input =
+      if (!dedup) pages
+      else {
+        val kept = dedupPages(spark, pages)
+        if (io.isDefined) {
+          // persist: the metric count and the NLP scan both consume it
+          // (run's tail clearCache() releases the blocks)
+          kept.persist()
+          metrics += ((runId, "dedup_pages_kept", kept.count(), 0L))
+        }
+        kept
+      }
+    val sents = ckpt("sentences", sentences(spark, input))
     // mentionFills includes the fused row-local unary pass (X1-X12)
     val raw = ckpt("fills_raw", mentionFills(spark, sents))
     // bag agg runs in the reference's default output mode: noisy-or merge,

@@ -103,6 +103,28 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r >= 0.90, f"held-out recall $r%.3f below floor 0.90")
   }
 
+  test("crawl dedup pre-pass: mirrors dropped, triple set provably unchanged") {
+    // recrawl simulation: every page appears again under a mirror url with
+    // byte-identical content — the exact-mode pre-pass must keep one copy
+    // per distinct text and the run's triple SET must equal the
+    // un-mirrored baseline (scores included: identical pages contribute
+    // exact-duplicate bag entries the noisy-or merge already absorbs)
+    val mirrored = pages ++ pages.map(p => p.copy(url = "mirror://" + p.url))
+    val dupDs = spark.createDataset(mirrored)
+    val kept = KGPipeline.dedupPages(spark, dupDs)
+    assert(kept.count() == pages.map(_.text).distinct.size.toLong)
+    val t = KGPipeline.run(spark, dupDs, dedup = true).collect()
+      .map(t => (t.subj, t.pred, t.obj, t.score)).toSet
+    val base = KGPipeline.run(spark, pagesDs).collect()
+      .map(t => (t.subj, t.pred, t.obj, t.score)).toSet
+    assert(t == base)
+    // curation-grade near mode also collapses the mirrors (and may merge
+    // more — it trades recall for corpus size, which is why exact is the
+    // KG default); it must never INVENT pages
+    val near = KGPipeline.dedupPages(spark, dupDs, near = true).count()
+    assert(near <= kept.count() && near > 0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
