@@ -20,6 +20,7 @@ import graft.pipeline.KGPipeline
  *     --tables <dir>           # stage-snapshot root; re-running resumes here
  *     [--out <dir>]            # additionally export triples (partitioned by pred)
  *     [--run-id <id>]          # lineage tag written into every snapshot row
+ *     [--dedup]                # stage 0: exact crawl dedup before NLP
  *
  * `--synthetic N` replaces `--pages` with the deterministic PageGen corpus
  * (the committed test/bench generator — no external data).
@@ -33,14 +34,15 @@ object Main {
 
   val Usage: String =
     """usage: graft.Main (--pages <parquet dir> | --synthetic <nPages>)
-      |                  [--tables <snapshot root>] [--out <dir>] [--run-id <id>]""".stripMargin
+      |                  [--tables <snapshot root>] [--out <dir>] [--run-id <id>] [--dedup]""".stripMargin
 
   final case class Opts(
       pages: Option[String] = None,
       synthetic: Option[Int] = None,
       tables: Option[String] = None,
       out: Option[String] = None,
-      runId: String = "run-0")
+      runId: String = "run-0",
+      dedup: Boolean = false)
 
   @annotation.tailrec
   def parse(args: List[String], acc: Opts = Opts()): Opts = args match {
@@ -50,6 +52,7 @@ object Main {
     case "--tables" :: v :: rest    => parse(rest, acc.copy(tables = Some(v)))
     case "--out" :: v :: rest       => parse(rest, acc.copy(out = Some(v)))
     case "--run-id" :: v :: rest    => parse(rest, acc.copy(runId = v))
+    case "--dedup" :: rest          => parse(rest, acc.copy(dedup = true))
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown argument '$other'\n$Usage")
   }
@@ -80,7 +83,8 @@ object Main {
    *  exports them to a consumer location with the same partitioning. */
   def runJob(spark: SparkSession, opts: Opts): Dataset[Triple] = {
     val io = opts.tables.map(new TableIO(_, spark))
-    val triples = KGPipeline.run(spark, pagesOf(spark, opts), io, opts.runId)
+    val triples =
+      KGPipeline.run(spark, pagesOf(spark, opts), io, opts.runId, opts.dedup)
     opts.out.foreach { dir =>
       triples.write.mode("overwrite").partitionBy("pred").parquet(dir)
     }

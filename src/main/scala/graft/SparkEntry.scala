@@ -292,6 +292,26 @@ object SparkEntry {
     "q40_docs_pack_shards" -> q((s, d) =>
       graft.text.Curation.packShards(s, t(s, d, "documents"),
         budget = 2000L, blockSize = 100L)),
+    // per-doc TF-IDF salient terms, ranked integer-exactly (tf DESC,
+    // df ASC, term ASC) so no float rounding can flip the row set; the
+    // per-doc window partitions are bounded by a doc's distinct terms
+    "q41_docs_salient_terms" -> q((s, d) =>
+      graft.text.TextStats.salientTerms(t(s, d, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("term_rank"))),
+    // Gopher-style repetition quality signals: every number is a ratio
+    // of integer counts, so both engines agree to the last bit
+    "q42_docs_repetition" -> q((s, d) =>
+      graft.text.TextStats.repetitionSignals(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+    // benchmark-contamination tagging: docs with doc_id % 97 == 0 stand
+    // in for the eval benchmark; its distinct 3-gram shingle set is
+    // broadcast against the corpus side
+    "q43_docs_contamination" -> q((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Curation.contamination(
+          docs, docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -691,6 +711,69 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tokens, pre // 2000 AS shard
          FROM p ORDER BY doc_id""",
+    // q41: same integer-exact ranking; the float tfidf column rides along
+    // (compared within the harness's 1e-9 tolerance)
+    "q41_docs_salient_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS term_rank
+               FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, tfidf, term_rank
+         FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+    // q42: every fraction is one IEEE division of two integer counts —
+    // both engines produce the identical double, so even the threshold
+    // booleans agree at boundaries
+    "q42_docs_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         uc AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY 1, 2),
+         us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct, max(c) AS top_word_cnt
+                FROM uc GROUP BY 1),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         bs AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM bc GROUP BY 1)
+         SELECT us.doc_id, n_tokens, n_distinct, top_word_cnt,
+           bs.top_bigram_cnt,
+           CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+           CAST(top_word_cnt AS DOUBLE) / n_tokens AS top_word_frac,
+           CASE WHEN n_tokens >= 2
+                THEN CAST(bs.top_bigram_cnt AS DOUBLE) / (n_tokens - 1) END
+             AS top_bigram_frac,
+           (CAST(top_word_cnt AS DOUBLE) / n_tokens) <= 0.3 AND coalesce(
+             CAST(bs.top_bigram_cnt AS DOUBLE) / (n_tokens - 1) <= 0.2, TRUE)
+             AS repetition_ok
+         FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+         ORDER BY us.doc_id""",
+    // q43: docs with doc_id % 97 == 0 are the stand-in benchmark corpus;
+    // the oracle recomputes the distinct-shingle probe with plain joins
+    "q43_docs_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         s0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                FROM w),
+         s AS (SELECT DISTINCT doc_id, sh FROM s0),
+         bset AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
+         hit AS (SELECT s.doc_id, count(*) AS n_hit
+                 FROM s JOIN bset USING (sh) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(tot.n_shingles, 0) AS n_shingles,
+           coalesce(hit.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(tot.n_shingles, 0) > 0
+                THEN CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_shingles
+           END AS contaminated_frac,
+           coalesce(hit.n_hit, 0) > 0 AS contaminated
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN hit ON d.doc_id = hit.doc_id
+         ORDER BY d.doc_id""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

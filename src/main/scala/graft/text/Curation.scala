@@ -46,6 +46,48 @@ object Curation {
       .filter(col("_rn") <= k).drop("_rn", "_r")
   }
 
+  /** Benchmark-contamination tagging (the GPT-3 appendix-C /
+   *  open-data decontamination shape): mark every training doc with how
+   *  many of its distinct word n-gram shingles also occur in an
+   *  evaluation-benchmark corpus, so contaminated docs can be dropped or
+   *  audited before training. Returns every input doc:
+   *  (doc_id, n_shingles, n_hit, contaminated_frac, contaminated).
+   *
+   *  Scale shape: the benchmark side is eval suites — MBs against a
+   *  100-TB crawl — so its distinct shingle set is BROADCAST and the
+   *  crawl side is never shuffled for the probe; the only exchanges are
+   *  the per-doc distinct (partial-agg on (doc_id, shingle)) and the
+   *  per-doc count, both keyed by doc_id and co-partitioned. n=3-word
+   *  shingles by default (decontamination uses 8-13; the synthetic docs
+   *  are ~30 tokens, so 3 keeps the fixture's hit rate meaningful). */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    n: Int = 3): DataFrame = {
+    def shingles(d: DataFrame): DataFrame = {
+      val ws = split(col("text"), " ")
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), j =>
+          concat_ws(" ", (0 until n).map(i => element_at(ws, j + i + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      d.select(col("doc_id"), explode(grams).as("sh")).distinct()
+    }
+    val benchSet = shingles(benchmark).select("sh").distinct()
+    val hits = shingles(docs)
+      .join(broadcast(benchSet), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val totals = shingles(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated_frac",
+        when(col("n_shingles") > 0,
+          col("n_hit").cast("double") / col("n_shingles")))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   /** Pack docs (in doc_id order) into training shards of ~`budget` tokens:
    *  shard = floor(exclusive-prefix-sum(tokens) / budget). A doc that
    *  straddles a boundary belongs to the shard its first token falls in —

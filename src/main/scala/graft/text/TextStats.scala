@@ -75,4 +75,81 @@ object TextStats {
         .reduce(_ + _))
     when(length(t) >= k, array_min(windows)).otherwise(lit(null))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+   *  per-doc fraction of tokens that are repeats, fraction taken by the
+   *  single most-frequent word, and fraction of bigram slots taken by the
+   *  most-frequent word bigram. Occurrence fractions, not char fractions,
+   *  so every number is a ratio of two integers both engines compute
+   *  identically (one IEEE division — no transcendental drift).
+   *
+   *  Scale shape: two explode→groupBy aggregations, each one shuffle with
+   *  map-side partial aggregation, keyed by (doc_id, gram) then doc_id —
+   *  the second groupBy and the final join are co-partitioned on doc_id,
+   *  so the whole thing is two exchanges regardless of corpus size; no
+   *  windows, nothing per-doc quadratic (state per key = one count). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_word_cnt"))
+    // adjacent-word bigrams; sequence(0, -1) would yield [0, -1], so
+    // single-token docs are guarded to an empty gram list
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(0), size(col("ws")) - 2), i =>
+        concat(element_at(col("ws"), i + 1), lit(" "),
+          element_at(col("ws"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val big = ws.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_cnt"))
+    uni.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_word_cnt"), col("top_bigram_cnt"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("dup_word_frac"),
+        (col("top_word_cnt").cast("double") / col("n_tokens"))
+          .as("top_word_frac"),
+        when(col("n_tokens") >= 2,
+          col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+      // Gopher's removal rule shape: kill a doc whose top bigram eats
+      // >20% of slots or whose top word eats >30%
+      .withColumn("repetition_ok",
+        col("top_word_frac") <= 0.3 &&
+          coalesce(col("top_bigram_frac") <= 0.2, lit(true)))
+  }
+
+  /** Top-k salient terms per document: TF-IDF, ranked INTEGER-EXACTLY by
+   *  (tf DESC, df ASC, term ASC) so the ordering never depends on float
+   *  rounding (two engines' ln() can disagree in the last ulp; integers
+   *  cannot) — the float tfidf = tf·ln((N+1)/(df+1)) ships as an output
+   *  column. The plan is two map-side-combinable aggregations (one
+   *  shuffle on (doc, term), one on term) + a join back on term (AQE
+   *  broadcasts it when the vocabulary is small) + a per-doc window
+   *  whose partitions are bounded by a document's distinct-term count —
+   *  no global sort, nothing quadratic. N comes from one count() job
+   *  (metadata-cheap on parquet). */
+  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        // unrounded: the oracle compares floats within 1e-9 and two ln()
+        // implementations agree to ~1e-15 relative — rounding would only
+        // add boundary risk
+        (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))).as("tfidf"),
+        col("term_rank"))
+  }
 }

@@ -41,6 +41,68 @@ class CurationSpec extends AnyFunSuite {
     assert(salt1 == want)
   }
 
+  test("repetition signals: counts, fractions and the single-token guard") {
+    val d = Seq(
+      (0L, "a a a b"),                     // heavy word + bigram repeats
+      (1L, "a b c d e f g h i j k"),       // all-distinct: passes the gate
+      (2L, "a")                            // single token: no bigram slots
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextStats.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = got(0L)
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)) ==
+      ((4L, 2L, 3L, 2L))) // tokens, distinct, top word "a"×3, top bigram "a a"×2
+    assert(r0.getDouble(5) == 0.5 && r0.getDouble(6) == 0.75 &&
+      r0.getDouble(7) == 2.0 / 3.0)
+    assert(!r0.getBoolean(8)) // top_word_frac 0.75 > 0.3
+    val r1 = got(1L)
+    assert(r1.getLong(3) == 1L && r1.getDouble(5) == 0.0 &&
+      r1.getDouble(7) == 0.1 && r1.getBoolean(8))
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 1L && r2.isNullAt(4) && r2.isNullAt(7) &&
+      !r2.getBoolean(8)) // top_word_frac 1.0 kills it; bigram leg vacuous
+  }
+
+  test("contamination: distinct-shingle hits vs a benchmark set") {
+    val d = Seq(
+      (0L, "x y z w"),            // the benchmark doc (0 % 97 == 0)
+      (1L, "a b c d e"),          // disjoint: clean
+      (2L, "q x y z w r"),        // shares 2 of its 4 shingles
+      (3L, "hi there"),           // < 3 tokens: no shingles at all
+      (4L, "x y z x y z x y")     // in-doc duplicate shingles count once
+    ).toDF("doc_id", "text")
+    val got = graft.text.Curation.contamination(
+        d, d.filter($"doc_id" % 97 === 0), n = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got(0L) == ((2L, 2L, Some(1.0), true)))      // self-hit
+    assert(got(1L) == ((3L, 0L, Some(0.0), false)))
+    assert(got(2L) == ((4L, 2L, Some(0.5), true)))      // "x y z", "y z w"
+    assert(got(3L) == ((0L, 0L, None, false)))
+    assert(got(4L) == ((3L, 1L, Some(1.0 / 3.0), true))) // 6 slots, 3 distinct
+  }
+
+  test("salient terms: integer-exact rank by (tf desc, df asc, term asc)") {
+    val d = Seq(
+      (0L, "apple apple banana cherry"),   // tf: apple 2
+      (1L, "banana banana cherry cherry date"), // tf tie banana/cherry 2
+      (2L, "apple date date")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextStats.salientTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(5))).toSet
+    // df: apple 2, banana 2, cherry 2, date 2 — doc 1's tie between
+    // banana(2)/cherry(2) breaks alphabetically
+    assert(got == Set(
+      (0L, "apple", 2L, 2L, 1), (0L, "banana", 1L, 2L, 2),
+      (1L, "banana", 2L, 2L, 1), (1L, "cherry", 2L, 2L, 2),
+      (2L, "date", 2L, 2L, 1), (2L, "apple", 1L, 2L, 2)))
+    // tfidf column: tf * ln((N+1)/(df+1)) with N=3
+    val row = graft.text.TextStats.salientTerms(d, k = 2)
+      .filter($"doc_id" === 0L && $"term" === "apple").head()
+    assert(math.abs(row.getDouble(4) - 2.0 * math.log(4.0 / 3.0)) < 1e-12)
+  }
+
   test("shard packing: distributed prefix sum equals the global window, block-invariant") {
     val budget = 20L
     val got = Curation.packShards(spark, docs, budget, blockSize = 7L)

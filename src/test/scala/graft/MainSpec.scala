@@ -8,8 +8,9 @@ class MainSpec extends AnyFunSuite {
 
   test("parse: full arg vector and the two failure modes") {
     val o = Main.parse(List("--synthetic", "80", "--tables", "/t",
-      "--out", "/o", "--run-id", "r7"))
-    assert(o == Main.Opts(None, Some(80), Some("/t"), Some("/o"), "r7"))
+      "--out", "/o", "--run-id", "r7", "--dedup"))
+    assert(o == Main.Opts(None, Some(80), Some("/t"), Some("/o"), "r7",
+      dedup = true))
     assertThrows[IllegalArgumentException](Main.parse(List("--bogus", "x")))
     // neither --pages nor --synthetic: the source resolver refuses
     assertThrows[IllegalArgumentException](
