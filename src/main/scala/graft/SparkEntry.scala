@@ -312,6 +312,25 @@ object SparkEntry {
           docs, docs.filter(col("doc_id") % 97 === 0), n = 3)
         .orderBy(col("doc_id"))
     }),
+    // URL-canonicalization recrawl dedup: each doc stands in for one
+    // crawl capture of a deterministic URL (7 hosts x 13 pages; docs
+    // with doc_id % 3 == 0 add a tracking query + trailing slash), with
+    // warc_ts = doc_id; keep the NEWEST capture per canonical URL
+    "q44_url_latest_crawl" -> q((s, d) => {
+      val caps = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/Page"), (col("doc_id") % 13).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("/?utm_source=x&ref="),
+              (col("doc_id") % 5).cast("string")))
+            .otherwise(lit(""))).as("url"),
+        col("doc_id").as("warc_ts"))
+      graft.text.Curation.latestCrawl(caps)
+        .select(col("canonical_url"), col("doc_id").as("kept_doc_id"),
+          col("n_crawls"))
+        .orderBy(col("canonical_url"))
+    }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -774,6 +793,50 @@ object SparkEntry {
          LEFT JOIN tot ON d.doc_id = tot.doc_id
          LEFT JOIN hit ON d.doc_id = hit.doc_id
          ORDER BY d.doc_id""",
+    // q44: the oracle restates the canonicalization semantics (lowercase
+    // scheme+host, www/default-port strip, fragment drop, tracking-param
+    // filter, trailing-slash collapse) independently, then keeps the
+    // newest capture per canonical URL via a window
+    "q44_url_latest_crawl" ->
+      """WITH p AS (SELECT doc_id,
+           'HTTPS://WWW.Site' || (doc_id % 7) || '.COM:443/Page' ||
+             (doc_id % 13) ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '/?utm_source=x&ref=' || (doc_id % 5) ELSE '' END
+             AS url,
+           doc_id AS ts FROM documents),
+         c AS (SELECT doc_id, ts,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+           FROM p),
+         h AS (SELECT doc_id, ts, scheme,
+           CASE WHEN scheme = 'https' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''), ':443$', '')
+                WHEN scheme = 'http' THEN
+                  regexp_replace(regexp_replace(auth, '^www\.', ''), ':80$', '')
+                ELSE regexp_replace(auth, '^www\.', '') END AS host,
+           CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                       '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                       '/+$', '') END AS path,
+           coalesce(array_to_string(list_filter(
+             string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                  AND x <> ''), '&'), '') AS query
+           FROM c),
+         u AS (SELECT doc_id, ts, scheme || '://' || host || path ||
+             CASE WHEN query = '' THEN '' ELSE '?' || query END
+             AS canonical_url FROM h),
+         r AS (SELECT canonical_url, doc_id,
+             count(*) OVER (PARTITION BY canonical_url) AS n_crawls,
+             row_number() OVER (PARTITION BY canonical_url
+               ORDER BY ts DESC) AS rn FROM u)
+         SELECT canonical_url, doc_id AS kept_doc_id, n_crawls
+         FROM r WHERE rn = 1 ORDER BY canonical_url""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

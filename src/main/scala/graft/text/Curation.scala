@@ -54,12 +54,15 @@ object Curation {
    *  (doc_id, n_shingles, n_hit, contaminated_frac, contaminated).
    *
    *  Scale shape: the benchmark side is eval suites — MBs against a
-   *  100-TB crawl — so its distinct shingle set is BROADCAST and the
-   *  crawl side is never shuffled for the probe; the only exchanges are
-   *  the per-doc distinct (partial-agg on (doc_id, shingle)) and the
-   *  per-doc count, both keyed by doc_id and co-partitioned. n=3-word
-   *  shingles by default (decontamination uses 8-13; the synthetic docs
-   *  are ~30 tokens, so 3 keeps the fixture's hit rate meaningful). */
+   *  100-TB crawl — so its distinct shingle set is BROADCAST (as the
+   *  build side of a left-outer BroadcastHashJoin: hit shingles get a
+   *  flag, misses get null) and the crawl side is read ONCE and never
+   *  shuffled for the probe; n_shingles and n_hit come out of the same
+   *  groupBy, so the corpus sees exactly two exchanges total — the
+   *  per-doc distinct (partial-agg on (doc_id, shingle)) and the per-doc
+   *  count on doc_id. n=3-word shingles by default (decontamination uses
+   *  8-13; the synthetic docs are ~30 tokens, so 3 keeps the fixture's
+   *  hit rate meaningful). */
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     n: Int = 3): DataFrame = {
     def shingles(d: DataFrame): DataFrame = {
@@ -68,17 +71,19 @@ object Curation {
         transform(sequence(lit(0), size(ws) - n), j =>
           concat_ws(" ", (0 until n).map(i => element_at(ws, j + i + 1)): _*)))
         .otherwise(array().cast("array<string>"))
-      d.select(col("doc_id"), explode(grams).as("sh")).distinct()
+      d.select(col("doc_id"), explode(grams).as("sh"))
     }
     val benchSet = shingles(benchmark).select("sh").distinct()
-    val hits = shingles(docs)
-      .join(broadcast(benchSet), Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    val totals = shingles(docs)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // one pass over the corpus shingles: the broadcast left join tags the
+    // hits, then a single per-doc aggregate counts both totals and hits
+    // (count(col) skips nulls) — never materializing the shingle table twice
+    val perDoc = shingles(docs).distinct()
+      .join(broadcast(benchSet.withColumn("_hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_hit"))
     docs.select("doc_id")
-      .join(totals, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
@@ -86,6 +91,59 @@ object Curation {
         when(col("n_shingles") > 0,
           col("n_hit").cast("double") / col("n_shingles")))
       .withColumn("contaminated", col("n_hit") > 0)
+  }
+
+  /** Canonicalize a URL column for recrawl/mirror dedup (the CCNet /
+   *  Common-Crawl-index normalization shape): lowercase scheme and host,
+   *  strip a leading `www.`, strip the scheme's default port (:80 http,
+   *  :443 https), drop the fragment, drop tracking query params
+   *  (`utm_*`, `fbclid`, `gclid`) while preserving the rest in order,
+   *  collapse trailing slashes (empty path → "/"). Non-URL strings pass
+   *  through trimmed, never nulled. Pure column expressions (regex kept
+   *  RE2-compatible — no lookbehind — so a DuckDB oracle can state the
+   *  same semantics independently), codegen-friendly, no UDF. */
+  def canonicalUrl(u: Column): Column = {
+    val t = regexp_replace(trim(u), "#.*", "") // fragment never survives
+    val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth =
+      lower(regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host0 = regexp_replace(auth, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query0, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === lit("")))
+    val query = array_join(params, "&")
+    when(scheme === "", trim(u)).otherwise(concat(scheme, lit("://"), host,
+      path, when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** Batch recrawl dedup: keep the newest capture of each canonical URL
+   *  (the batch twin of the streaming watermarked
+   *  `dropDuplicatesWithinWatermark` recrawl dedup). Returns one row per
+   *  canonical URL — the winning row's columns plus `canonical_url` and
+   *  `n_crawls`.
+   *
+   *  Scale shape: ONE shuffle, keyed on the canonical URL, and the
+   *  winner is a streaming `max(struct(ts, ...))` aggregate with map-side
+   *  partial combine — a hot URL recrawled millions of times costs one
+   *  running maximum per task, never a per-key sort (no window). The
+   *  struct compares `tsCol` first, then the remaining columns in input
+   *  order as a deterministic tie-break. */
+  def latestCrawl(pages: DataFrame, urlCol: String = "url",
+                  tsCol: String = "warc_ts"): DataFrame = {
+    val others = pages.columns.filterNot(_ == tsCol)
+    val packed = struct((col(tsCol) +: others.map(col)): _*)
+    pages
+      .groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(max(packed).as("_top"), count(lit(1)).as("n_crawls"))
+      .select(col("canonical_url") +:
+        pages.columns.map(c => col(s"_top.`$c`").as(c)) :+
+        col("n_crawls"): _*)
   }
 
   /** Pack docs (in doc_id order) into training shards of ~`budget` tokens:

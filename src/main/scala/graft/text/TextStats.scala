@@ -132,7 +132,11 @@ object TextStats {
    *  broadcasts it when the vocabulary is small) + a per-doc window
    *  whose partitions are bounded by a document's distinct-term count —
    *  no global sort, nothing quadratic. N comes from one count() job
-   *  (metadata-cheap on parquet). */
+   *  (metadata-cheap on parquet). tf feeds both the df aggregate and the
+   *  join probe side, so its lineage is evaluated twice — deliberate: at
+   *  crawl scale the tf table is corpus-sized, and recomputing a
+   *  map-side-combined aggregate is cheaper than caching it (a production
+   *  run that wants the reuse writes tf to a table first). */
   def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.count()

@@ -63,6 +63,42 @@ class CurationSpec extends AnyFunSuite {
       !r2.getBoolean(8)) // top_word_frac 1.0 kills it; bigram leg vacuous
   }
 
+  test("canonical url: case, default ports, www, tracking params, slashes") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/?utm_source=a&x=1#frag",
+      "http://site.com:8080/a",   // non-default port survives
+      "http://site.com:80",       // default port + empty path
+      "https://example.com/Path", // already canonical: fixpoint
+      "http://host.com/p/?utm_campaign=z&fbclid=f", // query dies entirely
+      "  not a url  "             // non-URL: trimmed passthrough
+    ).toDF("url")
+    val got = urls.select(Curation.canonicalUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "https://example.com/Path?x=1",
+      "http://site.com:8080/a",
+      "http://site.com/",
+      "https://example.com/Path",
+      "http://host.com/p",
+      "not a url"))
+  }
+
+  test("latest crawl: newest capture per canonical url, capture count kept") {
+    val caps = Seq(
+      (1L, "http://A.com/x", 10L),
+      (2L, "http://a.com/x/", 20L),                 // same canonical, newest
+      (3L, "http://a.com/x?utm_source=t", 15L),     // same canonical, older
+      (4L, "http://b.com/y", 5L)
+    ).toDF("doc_id", "url", "warc_ts")
+    // output = canonical_url, <input cols>, n_crawls
+    val got = Curation.latestCrawl(caps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("http://a.com/x", 2L, 20L, 3L),
+      ("http://b.com/y", 4L, 5L, 1L)))
+  }
+
   test("contamination: distinct-shingle hits vs a benchmark set") {
     val d = Seq(
       (0L, "x y z w"),            // the benchmark doc (0 % 97 == 0)

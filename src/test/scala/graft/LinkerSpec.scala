@@ -76,19 +76,28 @@ class LinkerSpec extends AnyFunSuite {
 
   test("canonicalize + release leaves no cached blocks (bare library caller)") {
     import spark.implicits._
-    spark.sharedState.cacheManager.clearCache() // isolate from other suites
     def orgFill(subj: String) = graft.model.SlotFill(subj,
       NER.ORGANIZATION, "org:founded", "1990-XX-XX", "DATE", 0.9, prov)
     val fills = Seq(orgFill("Acme Inc"), orgFill("Acme"),
       orgFill("Vertex Robotics Ltd."), orgFill("Vertex Robotics")).toDS()
+    // The suite shares one SparkSession with concurrently-running suites
+    // (e.g. DedupSpec's NearDup localCheckpoints, which clearCache() cannot
+    // touch and which legitimately live across our window), so a global
+    // getPersistentRDDs.isEmpty is unsound here. Scope the leak check to
+    // blocks ATTRIBUTED to this path: a leaked Linker cache is materialized
+    // by our collect(), so its block's creation site names Linker(Spec).
+    def linkerBlocks = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("Linker"))
     def checkPath(): Unit = {
       val out = Linker.canonicalize(spark, fills)
       assert(out.collect().nonEmpty) // materialize, as the contract requires
+      assert(linkerBlocks.nonEmpty, // the scoping must SEE the cache first,
+        "expected the linker's persisted blocks before release " +
+          "(callSite attribution changed? widen the filter)")
       Linker.release()
-      assert(spark.sharedState.cacheManager.isEmpty,
-        "cached plans survived canonicalize + release")
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        "persistent RDD blocks survived canonicalize + release")
+      assert(linkerBlocks.isEmpty,
+        s"persistent RDD blocks survived canonicalize + release: " +
+          linkerBlocks.mkString(", "))
     }
     checkPath() // driver union-find path
     val saved = Linker.MaxDriverAliasPairs
