@@ -331,6 +331,77 @@ object SparkEntry {
           col("n_crawls"))
         .orderBy(col("canonical_url"))
     }),
+    // PII detection/redaction: deterministic emails (doc_id%2==0), phones
+    // (doc_id%3==0) and IPv4s (doc_id%5==0) appended to the doc text;
+    // counts over the original text, sequential email->phone->ip
+    // redaction — pure codegen'd column exprs, no shuffle
+    "q45_pii_redact" -> q((s, d) => {
+      val withPii = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), (col("doc_id") % 7).cast("string"),
+              lit("@mail"), (col("doc_id") % 3).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 800-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 200).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Curation.piiSignals(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ipv4"), col("n_pii"), col("has_pii"), col("redacted_text"))
+        .orderBy(col("doc_id"))
+    }),
+    // per-registered-domain rollup + blocklist flag: 7 synthetic domains,
+    // doc_id%11==0 pages sit on a cdn. subdomain so n_hosts is 2 for the
+    // domains that have one; two keyed aggs, both map-side combinable
+    "q46_domain_stats" -> q((s, d) => {
+      val pages = t(s, d, "documents").select(
+        concat(lit("https://www."),
+          when(col("doc_id") % 11 === 0, lit("cdn.")).otherwise(lit("")),
+          lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".com/page"), (col("doc_id") % 13).cast("string")).as("url"),
+        col("text"))
+      graft.text.Curation.domainStats(pages,
+          blocklist = Seq("site2.com", "site5.com"))
+        .orderBy(col("domain"))
+    }),
+    // CCNet-style line-level boilerplate removal: every doc is 5 lines —
+    // a universal cookie banner, a 4-variant nav line, a 7-variant
+    // copyright line (all boilerplate at minDocs=50 on sf>=0.01) plus a
+    // near-unique text prefix and a unique body line that survive;
+    // frequent-line table is joined on md5(line), AQE-broadcast-sized
+    "q47_line_dedup" -> q((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("COOKIE BANNER accept all cookies"),
+          concat(lit("nav home products about "),
+            (col("doc_id") % 4).cast("string")),
+          substring(col("text"), 1, 40),
+          concat(lit("doc "), col("doc_id").cast("string"),
+            lit(" body line")),
+          concat(lit("copyright site"),
+            (col("doc_id") % 7).cast("string"))).as("text"))
+      graft.text.Curation.lineDedup(docs, minDocs = 50)
+        .orderBy(col("doc_id"))
+    }),
+    // per-node triangle counts over a deterministic ring+chord graph
+    // (every consecutive id trio closes a triangle; chords into a 101-node
+    // core add irregular ones) — degree-oriented wedge enumeration, the
+    // oracle recounts with a naive a<b<c 3-way self-join
+    "q48_graph_triangles" -> q((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("i"))
+      val edges = ids.select(col("i").as("src"), (col("i") + 1).as("dst"))
+        .union(ids.select(col("i").as("src"), (col("i") + 2).as("dst")))
+        .union(ids.select(col("i").as("src"),
+          ((col("i") * 17 + 5) % 101).as("dst")))
+      graft.link.GraphOps.triangleCounts(s, edges)
+        .orderBy(col("node"))
+    }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -837,6 +908,114 @@ object SparkEntry {
                ORDER BY ts DESC) AS rn FROM u)
          SELECT canonical_url, doc_id AS kept_doc_id, n_crawls
          FROM r WHERE rn = 1 ORDER BY canonical_url""",
+    // PII: counts over the original text, sequential email->phone->ip
+    // global replace (RE2 states the same Java-regex-compatible patterns)
+    "q45_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 2 = 0 THEN ' contact user' || (doc_id % 7) ||
+                '@mail' || (doc_id % 3) || '.com' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN ' call 800-555-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) ||
+                '.0.' || (doc_id % 200) ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+             + len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+             AS n_pii,
+           (len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+             + len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) > 0
+             AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+             AS redacted_text
+         FROM p ORDER BY doc_id""",
+    // domain rollup: same host/domain regexes restated; tokens = \S+ runs
+    "q46_domain_stats" ->
+      """WITH p AS (SELECT
+           'https://www.' || CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE '' END
+             || 'site' || (doc_id % 7) || '.com/page' || (doc_id % 13) AS url,
+           text FROM documents),
+         h AS (SELECT
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(trim(url),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+             ':[0-9]+$', ''), '^www\.', '') AS host,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+           FROM p),
+         d AS (SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                      host, count(*) AS n, sum(toks) AS t
+               FROM h GROUP BY 1, 2)
+         SELECT domain, CAST(sum(n) AS BIGINT) AS n_pages,
+           count(*) AS n_hosts, CAST(sum(t) AS BIGINT) AS total_tokens,
+           domain IN ('site2.com', 'site5.com') AS blocked
+         FROM d GROUP BY domain ORDER BY domain""",
+    // line-level boilerplate: df over distinct docs per line; kept lines
+    // reassembled in original order (string_agg ORDER BY pos)
+    "q47_line_dedup" ->
+      """WITH p AS (SELECT doc_id,
+           'COOKIE BANNER accept all cookies' || chr(10) ||
+           'nav home products about ' || (doc_id % 4) || chr(10) ||
+           substr(text, 1, 40) || chr(10) ||
+           'doc ' || doc_id || ' body line' || chr(10) ||
+           'copyright site' || (doc_id % 7) AS text
+           FROM documents),
+         l AS (SELECT doc_id, u.line, u.pos FROM p,
+               LATERAL (SELECT unnest(string_split(p.text, chr(10))) AS line,
+                        generate_subscripts(string_split(p.text, chr(10)), 1)
+                          AS pos) u),
+         f AS (SELECT line FROM
+                 (SELECT line, count(DISTINCT doc_id) AS c FROM l GROUP BY 1)
+               WHERE c >= 50),
+         t AS (SELECT l.doc_id, l.line, l.pos,
+                      f.line IS NOT NULL AS boiler
+               FROM l LEFT JOIN f ON l.line = f.line)
+         SELECT doc_id, count(*) AS n_lines,
+           CAST(coalesce(count(*) FILTER (NOT boiler), 0) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (NOT boiler), '') AS cleaned_text
+         FROM t GROUP BY doc_id ORDER BY doc_id""",
+    // triangles: naive a<b<c 3-way self-join recount of the degree-oriented
+    // Spark enumeration (same canonical edge set, same per-node credit)
+    "q48_graph_triangles" ->
+      """WITH ids AS (SELECT doc_id AS i FROM documents),
+         e0 AS (SELECT i AS src, i + 1 AS dst FROM ids
+                UNION ALL SELECT i, i + 2 FROM ids
+                UNION ALL SELECT i, (i * 17 + 5) % 101 FROM ids),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM e0 WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS degree FROM
+                   (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT v, count(*) AS t FROM
+                  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+                GROUP BY 1)
+         SELECT d.v AS node, d.degree,
+           CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
+         FROM deg d LEFT JOIN pn ON pn.v = d.v ORDER BY node""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

@@ -180,4 +180,111 @@ object Curation {
         (($"_pre" + $"_off") / budget).cast("long").as("shard"))
       .orderBy($"doc_id")
   }
+
+  // --- PII detection / redaction -------------------------------------
+  // Patterns stay in the Java-regex ∩ RE2 common subset (char classes,
+  // bounded repetition, \b, alternation — no lookaround, no backrefs) so
+  // a DuckDB oracle states byte-identical semantics independently.
+  /** email: local@domain.tld (pragmatic training-data shape, not RFC5322) */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP-style phone: optional +, 3-3-4 digit groups with -, . or space */
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  /** dotted-quad IPv4 (word-bounded; no octet range check — a redactor
+   *  over-matching 999.0.0.1 is the safe direction) */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII signals + redaction for training-data prep: per doc, count
+   *  non-overlapping email / phone / IPv4 matches in the ORIGINAL text,
+   *  and produce a redacted text with each match replaced by a typed
+   *  placeholder. Replacement is sequential — email, then phone, then
+   *  IPv4 — so the output is well-defined when patterns could abut
+   *  (counts are always over the original text, never the partly
+   *  redacted one).
+   *
+   *  Scale shape: pure codegen'd column expressions — no UDF, no
+   *  shuffle, no state; the pass fuses into whatever scan feeds it. */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      red.as("redacted_text"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ipv4"))
+      .withColumn("has_pii", col("n_pii") > 0)
+  }
+
+  /** Per-registered-domain corpus rollup + blocklist flag (the UT1 /
+   *  domain-filtering shape every crawl-curation pipeline runs before
+   *  anything touches page text): host extracted from the URL authority
+   *  (lowercased, `www.` and any port stripped), registered domain
+   *  approximated as the last two dot-labels (a production pass swaps in
+   *  the public-suffix list as a data file — same plan shape). Returns
+   *  one row per domain: (domain, n_pages, n_hosts, total_tokens,
+   *  blocked).
+   *
+   *  Scale shape: two keyed aggregations — (domain, host) then domain —
+   *  both with map-side partial combine, so the exact host-distinct
+   *  never builds a per-domain set; the blocklist is a literal `isin`
+   *  (list form; a table-sized blocklist joins broadcast instead, same
+   *  plan shape otherwise). A 10^8-page domain costs one running count
+   *  per task, never a per-key sort. */
+  def domainStats(pages: DataFrame, blocklist: Seq[String],
+                  urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    val auth = lower(regexp_extract(trim(col(urlCol)),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = regexp_replace(regexp_replace(auth, ":[0-9]+$", ""),
+      "^www\\.", "")
+    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    pages
+      .select(dom.as("domain"), host.as("host"),
+        regexp_count(col(textCol), lit("\\S+")).cast("long").as("_toks"))
+      .groupBy("domain", "host")
+      .agg(count(lit(1)).as("_n"), sum("_toks").as("_t"))
+      .groupBy("domain")
+      .agg(sum("_n").as("n_pages"), count(lit(1)).as("n_hosts"),
+        sum("_t").as("total_tokens"))
+      .withColumn("blocked",
+        if (blocklist.isEmpty) lit(false) else col("domain").isin(blocklist: _*))
+  }
+
+  /** CCNet-style line-level boilerplate removal: a line that occurs in
+   *  ≥ `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+   *  banners, copyright footers — the dominant noise in extracted web
+   *  text) and is dropped from every document; the rest of each doc is
+   *  reassembled in original line order. Returns every input doc:
+   *  (doc_id, n_lines, n_kept, cleaned_text) — n_kept = 0 and
+   *  cleaned_text = "" for an all-boilerplate doc.
+   *
+   *  Scale shape: the frequent-line table is keyed and joined on
+   *  md5(line) so the shuffle carries a fixed-width hash, not page-long
+   *  strings, and is ≤ corpus/minDocs rows by construction — AQE picks a
+   *  broadcast join when it fits (boilerplate is heavy-tailed, it
+   *  usually does). Three keyed shuffles total: distinct (hash, doc),
+   *  the hash count, and the per-doc reassembly, whose collect_list is
+   *  bounded by a single document's own line count. */
+  def lineDedup(docs: DataFrame, minDocs: Int,
+                textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.select(md5(col("line")).as("_h"), col("doc_id")).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_h"), lit(true).as("_boiler"))
+    lines.withColumn("_h", md5(col("line")))
+      .join(freq, Seq("_h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_boiler").isNull, 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_boiler").isNull, struct(col("pos"), col("line"))))),
+          s => s("line")), "\n").as("cleaned_text"))
+  }
 }

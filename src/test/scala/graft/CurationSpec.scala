@@ -161,4 +161,56 @@ class CurationSpec extends AnyFunSuite {
     // so a shard may exceed budget by part of its last doc — by design)
     assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("pii: counts over original text, typed sequential redaction") {
+    val d = Seq(
+      (0L, "mail a.b+c@ex.co or x@y.io, call 800-555-1234, from 10.0.0.1"),
+      (1L, "no pii here, just 1.2 version and a@b (not an email)"),
+      (2L, "ip 999.1.2.3 over-matches by design; +123 456 7890 too")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getBoolean(6), r.getString(4))).toMap
+    assert(got(0L) == ((2L, 1L, 1L, 4L, true,
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, from <IP>")))
+    assert(got(1L) == ((0L, 0L, 0L, 0L, false,
+      "no pii here, just 1.2 version and a@b (not an email)")))
+    // 999.1.2.3 matches (redactor over-matches toward safety);
+    // "+123 456 7890" matches the NANP shape with space separators
+    assert(got(2L)._3 == 1L && got(2L)._2 == 1L && got(2L)._5)
+  }
+
+  test("domain stats: host/domain normalization, two-level rollup, blocklist") {
+    val d = Seq(
+      (0L, "https://www.Shop.Example.com:8443/a", "one two three"),
+      (1L, "http://cdn.example.com/b", "four"),
+      (2L, "https://example.com/c?q=1", "five six"),
+      (3L, "https://other.org/", "seven")
+    ).toDF("doc_id", "url", "text")
+    val got = Curation.domainStats(d.select($"url", $"text"),
+        blocklist = Seq("example.com")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // hosts under example.com: shop.example.com (www+port stripped),
+    // cdn.example.com, example.com — 3 hosts, 3+1+2 = 6 tokens total
+    assert(got("example.com") == ((3L, 3L, 6L, true)))
+    assert(got("other.org") == ((1L, 1L, 1L, false)))
+  }
+
+  test("line dedup: >=minDocs lines drop, order kept, all-boiler doc empty") {
+    val d = Seq(
+      (0L, "boiler\nunique zero\nboiler2"),
+      (1L, "boiler\nunique one\nboiler2"),
+      (2L, "boiler\nboiler2"),
+      (3L, "solo line")
+    ).toDF("doc_id", "text")
+    val got = Curation.lineDedup(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // "boiler" is in 3 docs (drops); "boiler2" in 3 docs (drops)
+    assert(got(0L) == ((3L, 1L, "unique zero")))
+    assert(got(1L) == ((3L, 1L, "unique one")))
+    assert(got(2L) == ((2L, 0L, "")))
+    assert(got(3L) == ((1L, 1L, "solo line")))
+  }
 }

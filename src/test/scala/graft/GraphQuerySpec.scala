@@ -60,4 +60,27 @@ class GraphQuerySpec extends AnyFunSuite {
     // every bucket: correct <= responses (precision <= 1)
     assert(c.forall(r => r._3 <= r._2))
   }
+
+  test("triangle counts: degree-oriented enumeration equals brute force") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, each vertex in 3), plus a pendant
+    // vertex 4, a duplicate + reversed edge and a self-loop that must
+    // all collapse
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 0L), (0L, 1L), (4L, 3L), (2L, 2L)
+    ).toDF("src", "dst")
+    val got = graft.link.GraphOps.triangleCounts(spark, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((3L, 3L)))
+    assert(got(1L) == ((3L, 3L)))
+    assert(got(2L) == ((3L, 3L)))
+    assert(got(3L) == ((4L, 3L)))
+    assert(got(4L) == ((1L, 0L)))
+    // equal-degree orientation ties break by id: still every triangle once
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val t3 = graft.link.GraphOps.triangleCounts(spark, tri).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(t3 == Set((2L, 1L)))
+  }
 }
