@@ -402,6 +402,32 @@ object SparkEntry {
       graft.link.GraphOps.triangleCounts(s, edges)
         .orderBy(col("node"))
     }),
+    // integer fixed-point PageRank (3 iterations, d=85/100, scale 10^12)
+    // over the same ring+chord graph as q48 — the chords make the 101-node
+    // core high-in-degree hubs; every step is BIGINT floor division so the
+    // oracle restates the recurrence bit-for-bit as chained CTEs
+    "q49_pagerank" -> q((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("i"))
+      val edges = ids.select(col("i").as("src"), (col("i") + 1).as("dst"))
+        .union(ids.select(col("i").as("src"), (col("i") + 2).as("dst")))
+        .union(ids.select(col("i").as("src"),
+          ((col("i") * 17 + 5) % 101).as("dst")))
+      graft.link.GraphOps.pageRank(s, edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+    // duplicated-span stats (Lee et al. 2021 shape, n=8): doc_id%3==0 docs
+    // get a shared 10-token boilerplate suffix (3 duplicated 8-gram
+    // positions each); natural text may add more; docs shorter than 8
+    // tokens report NULL fraction
+    "q50_dup_spans" -> q((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" all rights reserved terms of service apply contact us today"))
+            .otherwise(lit(""))).as("text"))
+      graft.dedup.NearDup.dupSpans(s, docs, n = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1016,6 +1042,63 @@ object SparkEntry {
          SELECT d.v AS node, d.degree,
            CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
          FROM deg d LEFT JOIN pn ON pn.v = d.v ORDER BY node""",
+    // PageRank: the integer recurrence restated as chained CTEs — BIGINT
+    // floor division (//) matches Spark's div on nonnegative operands
+    "q49_pagerank" ->
+      """WITH ids AS (SELECT doc_id AS i FROM documents),
+         e0 AS (SELECT i AS src, i + 1 AS dst FROM ids
+                UNION ALL SELECT i, i + 2 FROM ids
+                UNION ALL SELECT i, (i * 17 + 5) % 101 FROM ids),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         v AS (SELECT DISTINCT v FROM
+                 (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS rank FROM v),
+         c1 AS (SELECT e.dst AS v,
+                       sum((r0.rank * 85) // (od.outdeg * 100)) AS m
+                FROM e JOIN r0 ON r0.v = e.src JOIN od ON od.src = e.src
+                GROUP BY 1),
+         r1 AS (SELECT v.v, 150000000000 + coalesce(c1.m, 0) AS rank
+                FROM v LEFT JOIN c1 ON c1.v = v.v),
+         c2 AS (SELECT e.dst AS v,
+                       sum((r1.rank * 85) // (od.outdeg * 100)) AS m
+                FROM e JOIN r1 ON r1.v = e.src JOIN od ON od.src = e.src
+                GROUP BY 1),
+         r2 AS (SELECT v.v, 150000000000 + coalesce(c2.m, 0) AS rank
+                FROM v LEFT JOIN c2 ON c2.v = v.v),
+         c3 AS (SELECT e.dst AS v,
+                       sum((r2.rank * 85) // (od.outdeg * 100)) AS m
+                FROM e JOIN r2 ON r2.v = e.src JOIN od ON od.src = e.src
+                GROUP BY 1),
+         r3 AS (SELECT v.v, 150000000000 + coalesce(c3.m, 0) AS rank
+                FROM v LEFT JOIN c3 ON c3.v = v.v)
+         SELECT v AS node, CAST(rank AS BIGINT) AS rank FROM r3
+         ORDER BY node""",
+    // duplicated spans: same md5'd full-window word 8-grams; a gram seen
+    // >= 2 times anywhere (cross-doc or self-repeat) is duplicated
+    "q50_dup_spans" ->
+      """WITH p AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN
+             ' all rights reserved terms of service apply contact us today'
+           ELSE '' END AS text FROM documents),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM p),
+         g AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+               FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+               WHERE len(t) >= 8),
+         c AS (SELECT h FROM
+                 (SELECT h, count(*) AS c FROM g GROUP BY 1) WHERE c >= 2),
+         pd AS (SELECT g.doc_id, count(*) AS n_grams, count(c.h) AS n_dup
+                FROM g LEFT JOIN c ON g.h = c.h GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN coalesce(pd.n_grams, 0) > 0
+                THEN CAST(pd.n_dup AS DOUBLE) / pd.n_grams END
+             AS dup_fraction,
+           coalesce(CAST(pd.n_dup AS DOUBLE) / pd.n_grams >= 0.5, false)
+             AS flagged
+         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

@@ -43,6 +43,50 @@ object NearDup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Duplicated-span statistics — the substring-level dedup signal of
+   *  Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+   *  Better", public paper) approximated at fixed span length: a word
+   *  n-gram occurring ≥ 2 times ANYWHERE in the corpus (another doc or a
+   *  self-repeat — suffix-array dedup catches both) is a duplicated span;
+   *  per doc we report how much of it is duplicated material. Returns one
+   *  row per input doc: (doc_id, n_grams, n_dup, dup_fraction, flagged) —
+   *  dup_fraction NULL for docs shorter than n tokens, flagged =
+   *  dup_fraction ≥ flagAt. All counts are integers and the fraction is a
+   *  single division of two integers, so an independent engine restating
+   *  the recurrence bit-agrees.
+   *
+   *  Scale shape: grams are hashed to md5 BEFORE the explode leaves the
+   *  scan task, so the two shuffles (hash count with map-side combine;
+   *  per-doc rollup keyed by doc_id) carry fixed-width hashes, never
+   *  page-length span text. The duplicated-hash table is ≤ half the gram
+   *  count by construction and arrives via a keyed left join (AQE
+   *  broadcasts it when small). Nothing is all-pairs; a 10^6-repeat
+   *  boilerplate span costs one counter, not a per-key sort. */
+  def dupSpans(spark: SparkSession, docs: DataFrame, n: Int = 8,
+               flagAt: Double = 0.5, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_t"))
+      .filter(size($"_t") >= n)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, size(_t) - $n),
+            i -> md5(array_join(slice(_t, i + 1, $n), ' ')))""")).as("_h"))
+    val dup = grams.groupBy($"_h").agg(count(lit(1)).as("_c"))
+      .filter($"_c" >= 2).select($"_h", lit(true).as("_dup"))
+    val perDoc = grams.join(dup, Seq("_h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"_dup", 1)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        when($"n_grams" > 0, $"n_dup".cast("double") / $"n_grams"))
+      .withColumn("flagged", coalesce($"dup_fraction" >= flagAt, lit(false)))
+  }
+
   /** ARRAY<STRING> of word n-grams via SQL higher-order functions
    *  (codegen-friendly, no UDF). */
   def shingleCol(textCol: String, n: Int) =

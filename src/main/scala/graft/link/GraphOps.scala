@@ -262,6 +262,53 @@ object GraphOps {
         coalesce($"triangles", lit(0L)).as("triangles"))
   }
 
+  /** Fixed-point integer PageRank over a directed edge table — the crawl-
+   *  prioritization / entity-authority signal (Page et al. 1999, public
+   *  algorithm). Ranks are kept as exact BIGINT fixed-point values
+   *  (`scale` units = rank 1.0) and every step is integer arithmetic with
+   *  floor division, so the result is bit-identical on any engine that
+   *  restates the same recurrence — float summation order can never flip
+   *  a rank. Per iteration, each node sends floor(dampNum * r / (dampDen *
+   *  outdeg)) along each out-edge and every node restarts from
+   *  floor(scale * (dampDen - dampNum) / dampDen); dangling mass is
+   *  dropped (the standard simplified variant — ranks are relative
+   *  priorities here, not a probability simplex).
+   *
+   *  Scale shape: one groupBy per iteration over the edge table keyed by
+   *  dst (map-side combinable BIGINT sum) + a broadcast-or-shuffle join of
+   *  the current rank vector onto src; iterations are a fixed small count
+   *  (crawl frontiers use 2-5). The rank vector is one row per vertex —
+   *  never wider than the graph, no per-key sort anywhere. Long headroom:
+   *  total mass ≤ |V|·scale and every intermediate is ≤ mass·dampNum, so
+   *  pick scale with |V|·scale·dampNum < 2^63 (the 10^12 default is sized
+   *  for ~10^5 vertices; a 10^9-vertex graph uses scale=10^8). */
+  def pageRank(spark: SparkSession, edges0: DataFrame, iters: Int = 3,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1000000000000L): DataFrame = {
+    import spark.implicits._
+    val src = edges0.columns(0); val dst = edges0.columns(1)
+    val edges = edges0.select(col(src).as("src"), col(dst).as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+    val verts = edges.select($"src".as("v"))
+      .union(edges.select($"dst".as("v"))).distinct()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var rank = verts.select($"v", lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank.select($"v".as("src"), $"rank"), "src")
+        .join(outdeg, "src")
+        // integer floor division: both operands nonnegative, so Spark's
+        // truncating `div` and an oracle's floor division agree
+        .select($"dst".as("v"),
+          expr(s"(rank * ${dampNum}L) div (outdeg * ${dampDen}L)").as("c"))
+        .groupBy($"v").agg(sum($"c").as("in_mass"))
+      rank = verts.join(contrib, Seq("v"), "left")
+        .select($"v", (lit(base) + coalesce($"in_mass", lit(0L))).as("rank"))
+    }
+    rank.select($"v".as("node"), $"rank")
+  }
+
   /** C10 within-sentence competition (process/RelationFilter.java:23-160,
    *  PerRelTypeCompetitionFilterComponent): keep only the best-scoring
    *  pair per (sentence, relation) — opt-in, off by default in the

@@ -216,6 +216,22 @@ class DedupSpec extends AnyFunSuite {
     assert(autoBits(Long.MaxValue) == 31)
   }
 
+  test("dup spans: cross-doc and self-repeat grams count, short docs NULL") {
+    val d = Seq(
+      (0L, "a b c d"),               // grams "a b c","b c d"; first is shared
+      (1L, "a b c x"),               // grams "a b c","b c x"
+      (2L, "z z"),                   // < n tokens: no grams at all
+      (3L, "p q r p q r p q")        // every gram a self-repeat
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.NearDup.dupSpans(spark, d, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got(0L) == ((2L, 1L, Some(0.5), true)))   // flagAt 0.5 inclusive
+    assert(got(1L) == ((2L, 1L, Some(0.5), true)))
+    assert(got(2L) == ((0L, 0L, None, false)))
+    assert(got(3L) == ((6L, 6L, Some(1.0), true)))
+  }
+
   test("trainer weights round-trip through parquet") {
     import org.apache.spark.ml.linalg.Vectors
     val w = Map("per:title" -> Vectors.sparse(8, Seq((1, 0.5), (3, -0.2))))

@@ -83,4 +83,21 @@ class GraphQuerySpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(t3 == Set((2L, 1L)))
   }
+
+  test("pagerank: integer recurrence matches hand computation per iteration") {
+    import spark.implicits._
+    // 0->1, 1->0, 1->2; 2 dangling; plus a self-loop and a duplicate
+    // edge that must collapse. scale=100, d=85/100:
+    //   iter1: to 1 from 0 = (100*85) div 100 = 85  -> 15+85 = 100
+    //          to 0,2 from 1 = (100*85) div 200 = 42 -> 15+42 = 57
+    //   iter2: to 1 from 0 = (57*85) div 100 = 48   -> 15+48 = 63
+    //          to 0,2 from 1 (rank 100) = 42        -> 57
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    def ranks(iters: Int) =
+      graft.link.GraphOps.pageRank(spark, edges, iters = iters, scale = 100L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1) == Map(0L -> 57L, 1L -> 100L, 2L -> 57L))
+    assert(ranks(2) == Map(0L -> 57L, 1L -> 63L, 2L -> 57L))
+  }
 }
