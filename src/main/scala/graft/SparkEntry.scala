@@ -428,6 +428,17 @@ object SparkEntry {
       graft.dedup.NearDup.dupSpans(s, docs, n = 8)
         .orderBy(col("doc_id"))
     }),
+    // corpus vocabulary: top-100 words by (count DESC, word ASC) with
+    // cumulative coverage — integer counts, one double division per row
+    "q51_vocab" -> q((s, d) =>
+      graft.text.TextStats.vocabulary(t(s, d, "documents"), k = 100)
+        .orderBy(col("rank"))),
+    // gap-based sessionization over the events table (30-min gap);
+    // session boundaries are exact integer microsecond arithmetic both
+    // engines state identically
+    "q52_sessions" -> q((s, d) =>
+      graft.ops.Sessions.sessionize(t(s, d, "events"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1099,6 +1110,43 @@ object SparkEntry {
              AS flagged
          FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    // vocabulary: same (cnt DESC, word ASC) total order; coverage =
+    // exact running BIGINT sum / exact total, one double division
+    "q51_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> ''
+               GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS t FROM c),
+         tk AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100)
+         SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+           word, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT CAST(t AS DOUBLE) FROM tot) AS coverage
+         FROM tk ORDER BY rank""",
+    // sessions: identical lag/running-sum recurrence; DuckDB epoch_us()
+    // and Spark unix_micros are both the timestamp's exact integer
+    // microsecond representation — the gap compare and the duration
+    // floor-division are stated in BIGINT micros on both engines
+    "q52_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1
+                WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM x)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

@@ -85,6 +85,29 @@ object StreamIngest {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_pages"), col("n_chars"))
 
+  /** Streaming gap-based sessionization — the stream twin of
+   *  `graft.ops.Sessions.sessionize`, built on Spark's native
+   *  `session_window` (watermark-bounded state: a user's open session is
+   *  one window row; sessions older than the watermark finalize and emit
+   *  in Append mode, so state never grows past horizon × active users).
+   *  Same gap semantics as the batch pass EXCEPT the boundary:
+   *  `session_window` merges events strictly closer than the gap
+   *  (start + gap is exclusive), while the batch recurrence breaks only
+   *  when the gap is exceeded — the parity spec uses off-boundary
+   *  fixtures, and boundary-exact events are the documented difference.
+   *  Emits (user_id, session_start, session_end, n_events) per CLOSED
+   *  session. */
+  def sessionStream(events: DataFrame, gapMinutes: Int = 30,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   /** Streaming state for one (subj, pred, obj): the running log-complement
    *  of the noisy-or over every provenance seen so far (order-independent,
    *  so arrival order across micro-batches cannot change the result). */

@@ -156,4 +156,36 @@ object TextStats {
         (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))).as("tfidf"),
         col("term_rank"))
   }
+
+  /** Corpus vocabulary builder (the BPE / tokenizer-training prep pass):
+   *  top-k space-split words by (count DESC, word ASC) — a total order,
+   *  so the row set is deterministic at any tie — with each word's
+   *  cumulative corpus-coverage fraction. Returns (rank, word, cnt,
+   *  coverage): coverage = running integer count sum / total tokens, one
+   *  double division of exact integers per row (sub-2^53 ⇒ both engines
+   *  bit-agree).
+   *
+   *  Scale shape: ONE map-side-combinable word-count shuffle over the
+   *  exploded corpus; top-k is orderBy+limit (TakeOrdered — per-partition
+   *  heaps, never a global sort of the vocabulary); the rank/coverage
+   *  window runs over the k returned rows only, and the total-token
+   *  scalar is a one-row aggregate joined by broadcast. A 10^10-token
+   *  corpus costs one counter per distinct word per task. */
+  def vocabulary(docs: DataFrame, k: Int = 100,
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("_total"))
+    val top = counts.orderBy(col("cnt").desc, col("word").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("_total"))
+      .select(col("rank"), col("word"), col("cnt"), col("coverage"))
+  }
 }

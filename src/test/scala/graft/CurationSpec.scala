@@ -197,6 +197,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got("other.org") == ((1L, 1L, 1L, false)))
   }
 
+  test("vocabulary: top-k total order, exact cumulative coverage") {
+    val d = Seq((0L, "a a b"), (1L, "b a  c")).toDF("doc_id", "text")
+    // tokens: a×3, b×2, c×1 (the double space yields an empty token that
+    // must be filtered); total 6
+    val got = graft.text.TextStats.vocabulary(d, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, "a", 3L, 3.0 / 6.0), (2, "b", 2L, 5.0 / 6.0)))
+  }
+
+  test("sessionize: strict gap threshold, per-user sessions, tie-safe") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),
+      (1L, 11L, ts("2026-01-01 10:10:00")),   // 10 min: same session
+      (1L, 12L, ts("2026-01-01 10:45:00")),   // 35 min: breaks
+      (1L, 13L, ts("2026-01-01 10:46:00")),
+      (2L, 20L, ts("2026-01-01 09:00:00")),   // singleton
+      (3L, 30L, ts("2026-01-01 08:00:00")),
+      (3L, 31L, ts("2026-01-01 08:30:00"))    // exactly 30 min: NOT a break
+    ).toDF("user_id", "event_id", "ts")
+    val got = graft.ops.Sessions.sessionize(d, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 600L), (1L, 2L, 2L, 60L),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 1800L)))
+  }
+
   test("line dedup: >=minDocs lines drop, order kept, all-boiler doc empty") {
     val d = Seq(
       (0L, "boiler\nunique zero\nboiler2"),

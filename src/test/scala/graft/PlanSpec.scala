@@ -64,6 +64,30 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi join in the LSH candidate path:\n$plan")
   }
 
+  test("triangle + pagerank plans are keyed equi-joins, never nested loops") {
+    for (q <- Seq("q48_graph_triangles", "q49_pagerank")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"non-equi join in $q:\n$plan")
+    }
+  }
+
+  test("dupSpans shuffles carry md5 hashes, not span text") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"w$i a b c d e f g h i j k")).toDF("doc_id", "text")
+    val df = graft.dedup.NearDup.dupSpans(spark, docs, n = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the gram-count exchange partitions on the projected hash column,
+    // which means md5 was computed BEFORE the shuffle boundary
+    assert("Exchange hashpartitioning\\(_h".r.findFirstIn(plan).isDefined,
+      s"gram shuffle not keyed on the hash column:\n$plan")
+  }
+
   test("pipeline shuffle count stays bounded (distinct exchanges)") {
     import spark.implicits._
     val (pages, _) = graft.fixtures.PageGen.corpus(10)

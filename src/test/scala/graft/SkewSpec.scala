@@ -115,4 +115,34 @@ class SkewSpec extends AnyFunSuite {
     assert(out.select("cluster").distinct().count() == 1)
     assert(out.filter($"keep").select("doc_id").head().getLong(0) == 0L)
   }
+
+  test("10k-doc shared boilerplate span: dupSpans stays keyed and linear") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // every doc carries the same 8-token boilerplate plus a unique tail:
+    // the hot gram is ONE counter row (count=10k), never a pairs blowup
+    val docs = (0L until 10000L)
+      .map(i => (i, s"all rights reserved terms of service apply now unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.NearDup.dupSpans(spark, docs, n = 8)
+    assert(out.count() == 10000)
+    // 10 tokens -> 3 gram positions; exactly the first (the full
+    // boilerplate window) is corpus-duplicated
+    val r = out.filter($"doc_id" === 7L).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(out.filter($"flagged").count() == 0) // 1/3 < 0.5
+  }
+
+  test("10k-doc universal line: lineDedup drops it everywhere, stays linear") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = (0L until 10000L)
+      .map(i => (i, s"COOKIE BANNER\nbody $i"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Curation.lineDedup(docs, minDocs = 100)
+    assert(out.count() == 10000)
+    val r = out.filter($"doc_id" === 42L).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getString(3) == "body 42")
+  }
 }

@@ -107,6 +107,49 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 03:00:00.0", "en", 1L, 1L)))
   }
 
+  test("streaming session_window equals batch sessionize on closed sessions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((1L, 10L, ts("2026-01-01 00:00:00")),
+      (1L, 11L, ts("2026-01-01 00:10:00")),
+      (2L, 20L, ts("2026-01-01 00:05:00")))
+    val b2 = Seq((1L, 12L, ts("2026-01-01 01:00:00")), // 50 min: new session
+      (1L, 13L, ts("2026-01-01 01:05:00")))
+    // far-future singleton advances the watermark to 09:00 so every
+    // earlier session closes; its own session stays open (append mode)
+    val b3 = Seq((9L, 90L, ts("2026-01-01 10:00:00")))
+    val inDir = s"$root/in"
+    val schema = b1.toDF("user_id", "event_id", "ts").schema
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamIngest.sessionStream(stream).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/_ck")
+        .format("parquet").option("path", s"$root/out").start()
+      q.awaitTermination()
+    }
+    Seq(b1, b2, b3).foreach { b =>
+      b.toDF("user_id", "event_id", "ts").write.mode("append").parquet(inDir)
+      drain()
+    }
+    val streamed = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // the batch pass over the same closed events produces the same
+    // (user, start, end, n) rows
+    val batch = graft.ops.Sessions.sessionize(
+        (b1 ++ b2).toDF("user_id", "event_id", "ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:10:00"), 2L),
+      (1L, ts("2026-01-01 01:00:00"), ts("2026-01-01 01:05:00"), 2L),
+      (2L, ts("2026-01-01 00:05:00"), ts("2026-01-01 00:05:00"), 1L)))
+  }
+
   test("incremental noisy-or state equals the batch combinator") {
     import graft.model.{Provenance, SlotFill}
     val root = java.nio.file.Files.createTempDirectory("graft-noisyor").toString
