@@ -439,6 +439,22 @@ object SparkEntry {
     "q52_sessions" -> q((s, d) =>
       graft.ops.Sessions.sessionize(t(s, d, "events"), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))),
+    // conjunctive keyword search: docs containing ALL of three query
+    // terms, with matched-term/total/min tf — integer counts only
+    "q53_search" -> q((s, d) =>
+      graft.text.Search.searchAll(t(s, d, "documents"),
+        Seq("vector", "join", "window"))
+        .orderBy(col("doc_id"))),
+    // KMV distinct-count sketch over the vocabulary: 48-bit md5 prefixes,
+    // k=16 minima; single IEEE division of double-exact integers
+    "q54_kmv_distinct" -> q((s, d) =>
+      graft.text.Sketches.kmvDistinctWords(t(s, d, "documents"), k = 16)),
+    // skip-gram co-occurrence counts at window 2, minCount 2 —
+    // pure integer pair counts, canonical (least, greatest) order
+    "q55_cooccurrence" -> q((s, d) =>
+      graft.text.TextStats.cooccurrence(t(s, d, "documents"),
+        window = 2, minCount = 2)
+        .orderBy(col("w1"), col("w2"))),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1147,6 +1163,37 @@ object SparkEntry {
            count(*) AS n_events,
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    // conjunctive search: same two-level integer rollup; HAVING = the
+    // all-terms gate
+    "q53_search" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+                WHERE word IN ('vector', 'join', 'window')
+                GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf,
+           min(tf) AS min_tf
+         FROM tf GROUP BY doc_id HAVING count(*) = 3
+         ORDER BY doc_id""",
+    "q54_kmv_distinct" -> kmvOracleSql(k = 16),
+    // co-occurrence: DuckDB restates the same slice+zip pair generation
+    // over the empty-filtered token list (list_zip of offset slices —
+    // the lateral-position form isn't supported), canonical
+    // least/greatest pair order, integer counts
+    "q55_cooccurrence" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents),
+         pr AS (
+           SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+           FROM t WHERE len(ws) >= 2
+           UNION ALL
+           SELECT unnest(list_zip(ws[1:len(ws)-2], ws[3:len(ws)])) AS p
+           FROM t WHERE len(ws) >= 3)
+         SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2,
+           count(*) AS n_pairs
+         FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY w1, w2""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b
@@ -1472,6 +1519,29 @@ object SparkEntry {
    *  whole fingerprint is integer-exact on both engines. Docs with no
    *  tokens get the all-zero fingerprint via the LEFT JOIN (matching the
    *  Spark side's empty-vote default). */
+  /** KMV oracle: the 48-bit hash is the first 12 md5 hex digits as an
+   *  integer, restated digit-by-digit (same strpos trick as the simhash
+   *  oracle); the estimator is one division of double-exact integers. */
+  private def kmvOracleSql(k: Int): String = {
+    // 16^(11-i) weights as exact BIGINT literals
+    val weighted = (0 until 12).map { i =>
+      val w = math.pow(16, 11 - i).toLong
+      s"(strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val scaleNum = (k - 1).toLong * 281474976710656L // (k-1) * 2^48
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        h AS (SELECT DISTINCT CAST($weighted AS BIGINT) AS h
+              FROM (SELECT md5(word) AS m FROM w WHERE word <> '')),
+        mins AS (SELECT h FROM h ORDER BY h LIMIT $k),
+        a AS (SELECT count(*) AS k_actual, max(h) AS kth_hash FROM mins),
+        e AS (SELECT count(*) AS exact_distinct FROM h)
+        SELECT k_actual, kth_hash,
+          CAST($scaleNum AS DOUBLE) / CAST(kth_hash AS DOUBLE) AS estimate,
+          exact_distinct
+        FROM a, e"""
+  }
+
   private def simhashOracleSql: String = {
     def bitExpr(b: Int): String = {
       val pos = 16 - b / 4 // 1-indexed substr position of the hex digit

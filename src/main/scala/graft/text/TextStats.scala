@@ -171,6 +171,37 @@ object TextStats {
    *  window runs over the k returned rows only, and the total-token
    *  scalar is a one-row aggregate joined by broadcast. A 10^10-token
    *  corpus costs one counter per distinct word per task. */
+  /** Skip-gram co-occurrence counts (word2vec / GloVe / PMI training
+   *  prep): for every unordered word pair at distance ≤ `window` token
+   *  positions (empty tokens removed before positions are assigned), the
+   *  corpus-wide pair count. Pairs are canonicalized (least, greatest) so
+   *  (a,b) and (b,a) accumulate together; pairs below `minCount` drop.
+   *  Counts are exact BIGINTs — both engines bit-agree.
+   *
+   *  Scale shape: pair generation is pure array math inside the scan task
+   *  (slice + zip_with per offset — no per-doc window function, no
+   *  shuffle-by-doc_id), so the ONLY shuffle in the whole plan is the
+   *  final map-side-combinable (w1, w2) count: a 10^12-doc corpus is read
+   *  once and moves only partial pair counts. */
+  def cooccurrence(docs: DataFrame, window: Int = 2, minCount: Long = 1,
+                   textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ws = filter(split(col(textCol), " "), w => w =!= lit(""))
+    val pairCols = (1 to window).map { o =>
+      val n = size(col("ws")) - o
+      when(n > 0,
+        zip_with(slice(col("ws"), lit(1), n),
+          slice(col("ws"), lit(o + 1), n),
+          (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    docs.select(ws.as("ws"))
+      .select(explode(concat(pairCols: _*)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   def vocabulary(docs: DataFrame, k: Int = 100,
                  textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

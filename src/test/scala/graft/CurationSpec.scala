@@ -206,6 +206,53 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", 3L, 3.0 / 6.0), (2, "b", 2L, 5.0 / 6.0)))
   }
 
+  test("searchAll: all-terms gate, tf rollup, duplicate query terms collapse") {
+    val d = Seq(
+      (0L, "join vector window join"), // all 3, join tf=2
+      (1L, "join vector"),             // missing window -> dropped
+      (2L, "window window vector join extra")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Search.searchAll(d,
+        Seq("vector", "join", "window", "join")) // dup term must not skew the gate
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((0L, 3L, 4L, 1L), (2L, 3L, 4L, 1L)))
+  }
+
+  test("postings: one row per (word, doc) with tf, empties filtered") {
+    val d = Seq((0L, "a b  a"), (1L, "b")).toDF("doc_id", "text")
+    val got = graft.text.Search.postings(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 0L, 2L), ("b", 0L, 1L), ("b", 1L, 1L)))
+  }
+
+  test("kmv sketch: kth hash is the k-th smallest distinct 48-bit md5 prefix") {
+    val d = Seq((0L, "a b c d"), (1L, "b c d e")).toDF("doc_id", "text")
+    val r = graft.text.Sketches.kmvDistinctWords(d, k = 3).head()
+    // recompute the expected k-min directly
+    val hs = Seq("a", "b", "c", "d", "e").map { w =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 12), 16)
+    }.distinct.sorted
+    assert(r.getLong(0) == 3L && r.getLong(1) == hs(2))
+    assert(r.getDouble(2) == 2.0 * 281474976710656.0 / hs(2).toDouble)
+    assert(r.getLong(3) == 5L)
+  }
+
+  test("cooccurrence: window-2 unordered pairs, canonical order, minCount") {
+    val d = Seq((0L, "a b  a c"), (1L, "c a")).toDF("doc_id", "text")
+    // doc0 tokens a,b,a,c (empty removed): off1 (a,b)(a,b)(a,c); off2 (a,a)(b,c)
+    // doc1: off1 (a,c)
+    val got = graft.text.TextStats.cooccurrence(d, window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L), ("a", "c", 2L), ("a", "a", 1L),
+      ("b", "c", 1L)))
+    val pruned = graft.text.TextStats.cooccurrence(d, window = 2, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned == Set(("a", "b", 2L), ("a", "c", 2L)))
+  }
+
   test("sessionize: strict gap threshold, per-user sessions, tie-safe") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val d = Seq(

@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrence pairs are generated scan-side: exactly one exchange") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"a b c d$i e")).toDF("doc_id", "text")
+    val df = graft.text.TextStats.cooccurrence(docs, window = 2)
+    df.collect()
+    // count only the AQE final plan, not the echoed "Initial Plan" section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected pair generation inside the scan stage (1 shuffle), got $exchanges:\n$plan")
+  }
+
   test("dupSpans shuffles carry md5 hashes, not span text") {
     import spark.implicits._
     val docs = (0L until 50L)
