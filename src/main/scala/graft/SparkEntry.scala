@@ -455,6 +455,17 @@ object SparkEntry {
       graft.text.TextStats.cooccurrence(t(s, d, "documents"),
         window = 2, minCount = 2)
         .orderBy(col("w1"), col("w2"))),
+    // LSH candidate verification: edit distance over 256-char prefixes
+    // of every MinHash star-edge pair; verdict is an integer compare
+    "q56_verify_pairs" -> q((s, d) =>
+      graft.dedup.NearDup.verifyCandidatePairs(s, t(s, d, "documents"),
+        capChars = 256)
+        .orderBy(col("d1"), col("d2"))),
+    // exact length-distribution percentiles (50/90/99) via the length
+    // histogram — ceil-rank quantiles, all-BIGINT bracket test
+    "q57_len_quantiles" -> q((s, d) =>
+      graft.text.TextStats.lengthQuantiles(t(s, d, "documents"),
+        qs = Seq(50, 90, 99))),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1194,6 +1205,48 @@ object SparkEntry {
            count(*) AS n_pairs
          FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY w1, w2""",
+    // q56: q19's star-edge CTE, then DuckDB's own levenshtein over the
+    // same 256-char prefixes; the verdict stays an integer compare
+    "q56_verify_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         hm AS (SELECT doc_id, md5('0'||word) AS m0, md5('1'||word) AS m1,
+                       md5('2'||word) AS m2, md5('3'||word) AS m3 FROM w),
+         m AS (SELECT doc_id,
+           min(substr(m0, 1, 16)) AS h0, min(substr(m0, 17, 16)) AS h1,
+           min(substr(m1, 1, 16)) AS h2, min(substr(m1, 17, 16)) AS h3,
+           min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
+           min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
+           FROM hm GROUP BY 1),
+         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m),
+         r1 AS (SELECT b1 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         r2 AS (SELECT b2 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         e AS (SELECT r1.d1, b.doc_id AS d2 FROM b JOIN r1 ON b.b1 = r1.bucket WHERE b.doc_id > r1.d1
+               UNION
+               SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1),
+         px AS (SELECT doc_id, substr(text, 1, 256) AS pfx FROM documents)
+         SELECT e.d1, e.d2,
+           CAST(levenshtein(p1.pfx, p2.pfx) AS BIGINT) AS dist,
+           CAST(greatest(len(p1.pfx), len(p2.pfx)) AS BIGINT) AS max_len,
+           levenshtein(p1.pfx, p2.pfx) * 10 <= greatest(len(p1.pfx), len(p2.pfx))
+             AS is_dup
+         FROM e JOIN px p1 ON p1.doc_id = e.d1
+                JOIN px p2 ON p2.doc_id = e.d2
+         ORDER BY e.d1, e.d2""",
+    // q57: identical histogram + cumulative bracket, all BIGINT
+    "q57_len_quantiles" ->
+      """WITH lens AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens
+                       FROM documents),
+         hist AS (SELECT n_tokens, count(*) AS cnt FROM lens GROUP BY 1),
+         c AS (SELECT n_tokens, cnt,
+                 sum(cnt) OVER (ORDER BY n_tokens
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM hist),
+         tot AS (SELECT sum(cnt) AS n FROM hist)
+         SELECT pct, n_tokens
+         FROM c, tot, unnest([50, 90, 99]) AS u(pct)
+         WHERE (cum - cnt) * 100 < pct * tot.n AND pct * tot.n <= cum * 100
+         ORDER BY pct""",
     "q20_embed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id, unnest(embedding) AS a, unnest(qe) AS b

@@ -338,4 +338,36 @@ object NearDup {
         (dot / (norm("a") * norm("b"))).as("cos"))
       .filter($"cos" >= threshold)
   }
+
+  /** Candidate-pair VERIFICATION — the exact-compare stage after LSH
+   *  blocking (the "verify" half of filter-and-verify dedup): every
+   *  MinHash star-edge candidate pair gets a character edit distance
+   *  over the first `capChars` chars of each side, plus an integer-ratio
+   *  duplicate verdict (dist·10 ≤ max prefix length, i.e. normalized
+   *  distance ≤ 0.1 — the threshold compare stays in integers so no
+   *  float ever decides a verdict).
+   *
+   *  The cap is the scale contract: Levenshtein is O(len²) per pair, so
+   *  the compare is bounded at capChars² regardless of document size —
+   *  truncated-prefix edit distance is the standard cheap verifier
+   *  (near-dup docs agree on their prefix; template pages that diverge
+   *  only deep in the body are MinHash's job, not this stage's).
+   *  Candidates are LSH-bounded (star edges — linear in bucket size),
+   *  and the two prefix fetches are keyed equi-joins, so the whole stage
+   *  is linear in candidates, never corpus². Returns
+   *  (d1, d2, dist, max_len, is_dup) with d1 < d2. */
+  def verifyCandidatePairs(spark: SparkSession, docs: DataFrame,
+                           capChars: Int = 256): DataFrame = {
+    import spark.implicits._
+    val edges = minhashStarEdges(spark, docs)
+    val pfx = docs.select($"doc_id",
+      substring($"text", 1, capChars).as("pfx"))
+    edges
+      .join(pfx.select($"doc_id".as("d1"), $"pfx".as("p1")), "d1")
+      .join(pfx.select($"doc_id".as("d2"), $"pfx".as("p2")), "d2")
+      .select($"d1", $"d2",
+        levenshtein($"p1", $"p2").cast("long").as("dist"),
+        greatest(length($"p1"), length($"p2")).cast("long").as("max_len"))
+      .withColumn("is_dup", col("dist") * 10 <= col("max_len"))
+  }
 }

@@ -171,6 +171,40 @@ object TextStats {
    *  window runs over the k returned rows only, and the total-token
    *  scalar is a one-row aggregate joined by broadcast. A 10^10-token
    *  corpus costs one counter per distinct word per task. */
+  /** EXACT corpus length-distribution quantiles (the length-filter
+   *  calibration pass: where to put a min/max-token cut). For each
+   *  requested percentile q, the type-1 (ceil-rank) quantile: the
+   *  smallest token count with at least ⌈q·n/100⌉ docs at or below it.
+   *  The rank test is stated as 100·cum ≥ q·n — all BIGINT, so both
+   *  engines bit-agree and no interpolation formula is involved.
+   *
+   *  Scale shape: the per-doc token count collapses into a LENGTH
+   *  HISTOGRAM (one map-side-combinable groupBy on the length value —
+   *  cardinality = distinct lengths, not docs), the cumulative sum runs
+   *  over those few histogram rows, and each percentile is a constant
+   *  bracket test per row ((cum − cnt)·100 < q·n ≤ 100·cum), exploded
+   *  from a literal array. A 10^12-doc corpus shuffles one counter per
+   *  distinct length — NO global sort of documents, no per-doc window.
+   *  Returns (pct, n_tokens) ordered by pct. */
+  def lengthQuantiles(docs: DataFrame, qs: Seq[Int] = Seq(50, 90, 99),
+                      textCol: String = "text"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(p => p >= 1 && p <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(size(filter(split(col(textCol), " "), w => w =!= lit("")))
+        .cast("long").as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("_n"))))
+      .withColumn("pct", explode(lit(qs.sorted.distinct.toArray)))
+      .filter((col("cum") - col("cnt")) * 100 < col("pct") * col("_n") &&
+        col("pct") * col("_n") <= col("cum") * 100)
+      .select(col("pct"), col("n_tokens"))
+      .orderBy(col("pct"))
+  }
+
   /** Skip-gram co-occurrence counts (word2vec / GloVe / PMI training
    *  prep): for every unordered word pair at distance ≤ `window` token
    *  positions (empty tokens removed before positions are assigned), the

@@ -206,6 +206,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", 3L, 3.0 / 6.0), (2, "b", 2L, 5.0 / 6.0)))
   }
 
+  test("lengthQuantiles: exact ceil-rank percentiles from the length histogram") {
+    // lengths 1..10, one doc each: p50 -> rank 5 -> len 5; p90 -> 9; p99 -> 10
+    val d = (1 to 10).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.lengthQuantiles(d, qs = Seq(50, 90, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((50, 5L), (90, 9L), (99, 10L)))
+    // duplicated lengths: 4 docs of len 2, 1 of len 7 -> p50 rank 3 -> 2;
+    // p99 rank ceil(4.95)=5 -> 7; empty tokens don't count
+    val d2 = Seq((0L, "a a"), (1L, "a  a"), (2L, "a a"), (3L, "a a"),
+      (4L, "a a a a a a a")).toDF("doc_id", "text")
+    val got2 = graft.text.TextStats.lengthQuantiles(d2, qs = Seq(50, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((50, 2L), (99, 7L)))
+  }
+
   test("searchAll: all-terms gate, tf rollup, duplicate query terms collapse") {
     val d = Seq(
       (0L, "join vector window join"), // all 3, join tf=2

@@ -18,6 +18,31 @@ class DedupSpec extends AnyFunSuite {
     (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("verifyCandidatePairs: edit distance + integer-ratio verdict on LSH edges") {
+    // docs 10/11 share the same word MULTISET (identical minhash
+    // signature, so both bands collide -> guaranteed star edge) but a
+    // different order -> nonzero edit distance; 12 is an exact dup of 10
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "epsilon delta gamma beta alpha"),
+      (12L, "alpha beta gamma delta epsilon"),
+      (13L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val got = NearDup.verifyCandidatePairs(spark, d, capChars = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // exact-dup pair: dist 0, trivially a dup
+    assert(got((10L, 12L)) == ((0L, 30L, true)))
+    // reordered pair: positive distance, same max prefix length; the
+    // verdict is exactly the integer test dist*10 <= max_len
+    val (dist, maxLen, isDup) = got((10L, 11L))
+    assert(dist > 0L && maxLen == 30L && isDup == (dist * 10 <= maxLen))
+    // no edge can touch the unrelated doc unless a band collided by
+    // construction (it cannot: different word multisets)
+    assert(!got.keySet.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
   test("exact dedup groups identical content") {
     val d = NearDup.exact(docs).collect()
     assert(d.length == 3)
