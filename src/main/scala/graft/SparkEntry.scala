@@ -466,6 +466,26 @@ object SparkEntry {
     "q57_len_quantiles" -> q((s, d) =>
       graft.text.TextStats.lengthQuantiles(t(s, d, "documents"),
         qs = Seq(50, 90, 99))),
+    // k-core peeling (k=4, 3 fixed rounds) over the same ring+chord
+    // graph as q48/q49 — the ring tail peels and cascades inward
+    "q58_kcore" -> q((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("i"))
+      val edges = ids.select(col("i").as("src"), (col("i") + 1).as("dst"))
+        .union(ids.select(col("i").as("src"), (col("i") + 2).as("dst")))
+        .union(ids.select(col("i").as("src"),
+          ((col("i") * 17 + 5) % 101).as("dst")))
+      graft.link.GraphOps.kCore(s, edges, k = 4, rounds = 3)
+        .orderBy(col("node"))
+    }),
+    // dedup cluster-size histogram over the q38 clustering
+    "q59_cluster_sizes" -> q((s, d) =>
+      graft.dedup.NearDup.clusterSizeHistogram(s, t(s, d, "documents"))
+        .orderBy(col("cluster_size"))),
+    // bigram next-word table: top-3 successors per word at minCount 2
+    "q60_bigrams" -> q((s, d) =>
+      graft.text.TextStats.bigramNextWords(t(s, d, "documents"),
+        topK = 3, minCount = 2)
+        .orderBy(col("w1"), col("rank"))),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1232,6 +1252,85 @@ object SparkEntry {
          FROM e JOIN px p1 ON p1.doc_id = e.d1
                 JOIN px p2 ON p2.doc_id = e.d2
          ORDER BY e.d1, e.d2""",
+    // q58: the peeling recurrence as chained CTEs (same device as q49's
+    // pagerank): keep_i = deg(e_{i-1}) >= k, e_i = e_{i-1} ∩ keep_i²
+    "q58_kcore" ->
+      """WITH ids AS (SELECT doc_id AS i FROM documents),
+         raw AS (SELECT i AS s, i + 1 AS d FROM ids
+                 UNION ALL SELECT i, i + 2 FROM ids
+                 UNION ALL SELECT i, (i * 17 + 5) % 101 FROM ids),
+         e0 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d),
+         d0 AS (SELECT v, count(*) AS deg FROM
+                  (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+                GROUP BY 1),
+         k1 AS (SELECT v FROM d0 WHERE deg >= 4),
+         e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT v FROM k1)
+                  AND b IN (SELECT v FROM k1)),
+         d1 AS (SELECT v, count(*) AS deg FROM
+                  (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                GROUP BY 1),
+         k2 AS (SELECT v FROM d1 WHERE deg >= 4),
+         e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT v FROM k2)
+                  AND b IN (SELECT v FROM k2)),
+         d2 AS (SELECT v, count(*) AS deg FROM
+                  (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                GROUP BY 1),
+         k3 AS (SELECT v FROM d2 WHERE deg >= 4),
+         e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT v FROM k3)
+                  AND b IN (SELECT v FROM k3)),
+         df AS (SELECT v, count(*) AS deg FROM
+                  (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+                GROUP BY 1)
+         SELECT d0.v AS node, d0.deg AS deg0,
+           coalesce(df.deg, 0) AS deg_final,
+           d0.v IN (SELECT v FROM k3) AS in_core
+         FROM d0 LEFT JOIN df ON df.v = d0.v
+         ORDER BY node""",
+    // q59: q38's recursive closure, rolled up into the size histogram
+    "q59_cluster_sizes" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         hm AS (SELECT doc_id, md5('0'||word) AS m0, md5('1'||word) AS m1,
+                       md5('2'||word) AS m2, md5('3'||word) AS m3 FROM w),
+         m AS (SELECT doc_id,
+           min(substr(m0, 1, 16)) AS h0, min(substr(m0, 17, 16)) AS h1,
+           min(substr(m1, 1, 16)) AS h2, min(substr(m1, 17, 16)) AS h3,
+           min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
+           min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
+           FROM hm GROUP BY 1),
+         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m),
+         r1 AS (SELECT b1 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         r2 AS (SELECT b2 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         e AS (SELECT r1.d1, b.doc_id AS d2 FROM b JOIN r1 ON b.b1 = r1.bucket WHERE b.doc_id > r1.d1
+               UNION
+               SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1),
+         und AS (SELECT d1 AS a, d2 AS bb FROM e UNION SELECT d2, d1 FROM e),
+         reach(a, bb) AS (SELECT a, bb FROM und
+                          UNION
+                          SELECT r.a, u.bb FROM reach r JOIN und u ON r.bb = u.a),
+         comp AS (SELECT a AS doc_id, least(a, min(bb)) AS cluster FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+         sizes AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           cluster_size * count(*) AS n_docs
+         FROM sizes GROUP BY 1 ORDER BY cluster_size""",
+    // q60: same slice+zip bigram generation, rank after the prune
+    "q60_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents),
+         pr AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+                FROM t WHERE len(ws) >= 2),
+         c AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt
+               FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT w1, w2, cnt, rank FROM (
+           SELECT w1, w2, cnt,
+             row_number() OVER (PARTITION BY w1
+               ORDER BY cnt DESC, w2 ASC) AS rank
+           FROM c) WHERE rank <= 3
+         ORDER BY w1, rank""",
     // q57: identical histogram + cumulative bracket, all BIGINT
     "q57_len_quantiles" ->
       """WITH lens AS (SELECT CAST(len(list_filter(string_split(text, ' '),

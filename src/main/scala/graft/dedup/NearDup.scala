@@ -196,6 +196,18 @@ object NearDup {
         ($"doc_id" === $"canon_doc").as("keep"))
   }
 
+  /** Dedup cluster-SIZE distribution — the curation health metric read
+   *  before committing a dedup pass (how much of the corpus sits in
+   *  template mega-clusters vs singletons). One extra
+   *  map-side-combinable shuffle over `dedupVerdicts`'s cluster labels,
+   *  then a histogram over the (few) distinct sizes. Returns
+   *  (cluster_size, n_clusters, n_docs = size·clusters) — all BIGINT. */
+  def clusterSizeHistogram(spark: SparkSession, docs: DataFrame): DataFrame =
+    dedupVerdicts(spark, docs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** IVF index: the assigned table (vec_id, embedding, list_id) plus the
    *  driver-resident centroid table (nLists entries). At 100 TB the
    *  assigned table is WRITTEN ONCE partitioned by list_id (the fit is

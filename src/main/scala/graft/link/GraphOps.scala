@@ -309,6 +309,57 @@ object GraphOps {
     rank.select($"v".as("node"), $"rank")
   }
 
+  /** k-core peeling with a FIXED round count (the link-graph quality
+   *  signal behind "drop weakly-connected crawl fringe"): each round
+   *  removes every vertex whose CURRENT degree in the surviving subgraph
+   *  is below k, together with its edges. The true k-core is this
+   *  process's fixpoint; a fixed round budget is how you'd run it at
+   *  10^12 edges anyway (bounded passes, convergence read off the
+   *  metrics), and it keeps the recurrence restatable as chained CTEs —
+   *  the same oracle device as pageRank. All counts BIGINT.
+   *
+   *  Per round: one map-side-combinable degree count + two semi-joins
+   *  keyed on the endpoints — never an all-pairs step; a hub's removal
+   *  is one filter, not a neighbor enumeration. Returns one row per
+   *  ORIGINAL vertex: (node, deg0, deg_final, in_core) where deg_final
+   *  is its degree among round-`rounds` survivors (0 if peeled) and
+   *  in_core says it survived every round. Self-loops and duplicate /
+   *  reversed edges collapse first. */
+  def kCore(spark: SparkSession, edges0: DataFrame, k: Int = 3,
+            rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && rounds >= 1)
+    val src = edges0.columns(0); val dst = edges0.columns(1)
+    val und0 = edges0
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter($"a" =!= $"b").distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"a".as("v")).union(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val deg0 = degrees(und0)
+    // each round references the previous round's edges three times
+    // (degree count + two semi-joins), so without a plan barrier the
+    // Catalyst tree grows 3^rounds — the same planner blowup the
+    // connected-components rounds hit; cut it once per round
+    var edges = planBarrier(spark, und0)
+    var survivors = deg0.select($"v")
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter($"deg" >= k).select($"v")
+      edges = planBarrier(spark, edges
+        .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+        .join(keep.select($"v".as("b")), Seq("b"), "left_semi"))
+      survivors = keep
+    }
+    val degF = degrees(edges)
+    deg0.select($"v", $"deg".as("deg0"))
+      .join(degF.select($"v", $"deg".as("_df")), Seq("v"), "left")
+      .join(survivors.select($"v", lit(true).as("_s")), Seq("v"), "left")
+      .select($"v".as("node"), $"deg0",
+        coalesce($"_df", lit(0L)).as("deg_final"),
+        coalesce($"_s", lit(false)).as("in_core"))
+  }
+
   /** C10 within-sentence competition (process/RelationFilter.java:23-160,
    *  PerRelTypeCompetitionFilterComponent): keep only the best-scoring
    *  pair per (sentence, relation) — opt-in, off by default in the

@@ -171,6 +171,39 @@ object TextStats {
    *  window runs over the k returned rows only, and the total-token
    *  scalar is a one-row aggregate joined by broadcast. A 10^10-token
    *  corpus costs one counter per distinct word per task. */
+  /** Bigram next-word table (n-gram language-model prep / autocomplete
+   *  table): for every word, its top-`topK` immediate successors by the
+   *  total order (count DESC, successor ASC), with successors below
+   *  `minCount` pruned BEFORE ranking. Directional pairs (w1 → w2),
+   *  exact BIGINT counts.
+   *
+   *  Scale shape: pair generation is the same zero-shuffle slice +
+   *  zip_with as `cooccurrence`; the count is one map-side-combinable
+   *  shuffle; the rank window is partitioned by w1 and runs AFTER the
+   *  minCount prune, so a task holds one word's surviving successor
+   *  list, never the corpus (a stopword's fan-out is ≤ |vocab| rows,
+   *  already aggregated). */
+  def bigramNextWords(docs: DataFrame, topK: Int = 3, minCount: Long = 2,
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(col(textCol), " "), w => w =!= lit(""))
+    val n = size(col("ws")) - 1
+    val pairs = when(n > 0,
+      zip_with(slice(col("ws"), lit(1), n), slice(col("ws"), lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val counts = docs.select(ws.as("ws"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("cnt").desc, col("w2").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("w1"), col("w2"), col("cnt"), col("rank"))
+  }
+
   /** EXACT corpus length-distribution quantiles (the length-filter
    *  calibration pass: where to put a min/max-token cut). For each
    *  requested percentile q, the type-1 (ceil-rank) quantile: the

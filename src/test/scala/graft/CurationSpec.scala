@@ -206,6 +206,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", 3L, 3.0 / 6.0), (2, "b", 2L, 5.0 / 6.0)))
   }
 
+  test("bigramNextWords: directional pairs, prune before rank, tie order") {
+    val d = Seq((0L, "a b a b c"), (1L, "b c")).toDF("doc_id", "text")
+    // pairs: (a,b)x2, (b,a)x1, (b,c)x2
+    val got = graft.text.TextStats.bigramNextWords(d, topK = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == Set(("a", "b", 2L, 1), ("b", "c", 2L, 1)))
+    // at minCount 1 the pruned (b,a) reappears and ranks BELOW (b,c)
+    val all = graft.text.TextStats.bigramNextWords(d, topK = 3, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(all == Set(("a", "b", 2L, 1), ("b", "c", 2L, 1), ("b", "a", 1L, 2)))
+  }
+
   test("lengthQuantiles: exact ceil-rank percentiles from the length histogram") {
     // lengths 1..10, one doc each: p50 -> rank 5 -> len 5; p90 -> 9; p99 -> 10
     val d = (1 to 10).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))

@@ -43,6 +43,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("clusterSizeHistogram: sizes roll up across exact-dup pairs and singletons") {
+    val d = Seq(
+      (1L, "first duplicated text body here"),
+      (2L, "first duplicated text body here"),
+      (3L, "second duplicated text body here"),
+      (4L, "second duplicated text body here"),
+      (5L, "a completely unrelated singleton document")
+    ).toDF("doc_id", "text")
+    val got = NearDup.clusterSizeHistogram(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 2L, 4L)))
+  }
+
   test("exact dedup groups identical content") {
     val d = NearDup.exact(docs).collect()
     assert(d.length == 3)

@@ -100,4 +100,25 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(ranks(1) == Map(0L -> 57L, 1L -> 100L, 2L -> 57L))
     assert(ranks(2) == Map(0L -> 57L, 1L -> 63L, 2L -> 57L))
   }
+
+  test("k-core peeling: K5 core survives, pendant star cascades out over rounds") {
+    val s = spark
+    import s.implicits._
+    // K5 on 1..5; 6 hangs off 5 with three leaves 7/8/9 (deg0 = 4, but its
+    // degree depends on the leaves): round 1 peels the leaves, round 2
+    // peels 6 — a genuine multi-round cascade. A self-loop and a reversed
+    // duplicate must collapse before degrees are counted.
+    val k5 = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L), (6L, 8L), (6L, 9L),
+      (1L, 1L), (2L, 1L))).toDF("src", "dst")
+    val got = graft.link.GraphOps.kCore(s, edges, k = 4, rounds = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    for (v <- 1L to 4L) assert(got(v) == ((4L, 4L, true)), s"node $v")
+    assert(got(5L) == ((5L, 4L, true)))
+    // 6 survives round 1 (deg0 = 4) but its leaves died with it
+    assert(got(6L) == ((4L, 0L, false)))
+    for (v <- 7L to 9L) assert(got(v) == ((1L, 0L, false)), s"node $v")
+  }
 }
