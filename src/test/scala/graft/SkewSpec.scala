@@ -133,6 +133,40 @@ class SkewSpec extends AnyFunSuite {
     assert(out.filter($"flagged").count() == 0) // 1/3 < 0.5
   }
 
+  test("10^4-leaf hub: kCore peels the star in one round, no neighbor pairing") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // one hub with 10k leaves plus a K5 core the hub belongs to: the
+    // leaves all peel in round 1 (deg 1), the hub keeps its K5 edges —
+    // per round the hub costs one filter row, never a 10k² enumeration
+    val k5 = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val star = (100L until 10100L).map(l => (0L, l))
+    val edges = (k5 ++ star).toDF("src", "dst")
+    val got = graft.link.GraphOps.kCore(spark, edges, k = 4, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got(0L) == ((10004L, 4L, true)))
+    for (v <- 1L to 4L) assert(got(v) == ((4L, 4L, true)))
+    assert(got(100L) == ((1L, 0L, false)))
+    assert(got.size == 10005)
+  }
+
+  test("hot stopword: bigramNextWords window sees successors, not occurrences") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 'the' precedes 10k tokens but only 3 distinct successors survive the
+    // prune — the rank window's partition holds 3 rows, not 10k
+    val docs = (0L until 10000L)
+      .map(i => (i, s"the ${Seq("cat", "dog", "fox")(i.toInt % 3)}"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.bigramNextWords(docs, topK = 2, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // counts: cat 3334 (i%3==0 for 0..9999), dog 3333, fox 3333; top-2 =
+    // cat then dog (tie dog < fox)
+    assert(got == Set(("the", "cat", 3334L, 1), ("the", "dog", 3333L, 2)))
+  }
+
   test("10k-doc universal line: lineDedup drops it everywhere, stays linear") {
     val spark = SparkTestSession.spark
     import spark.implicits._
