@@ -29,6 +29,34 @@ object SparkEntry {
   private def q(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = f
 
+  /** q61/q62 input: synthetic crawl pages (url + html) derived from the
+   *  documents table with SQL-restatable arithmetic. Tag order in the
+   *  <nav> block is fixed: root-relative, absolute (default port +
+   *  tracking param), mailto (every 5th doc, must be dropped),
+   *  directory-relative (every 4th doc). The absolute link's anchor
+   *  alternates between a short and a long surface form (doc_id % 3) so
+   *  anchor aggregation has real ranks to compute. */
+  private def linkPages(docs: DataFrame): DataFrame = {
+    val m = (k: Int) => (col("doc_id") % k).cast("string")
+    docs.select(
+      col("doc_id"),
+      concat(lit("https://www.site"), m(7), lit(".com/dir"), m(3),
+        lit("/page-"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><head><title>t</title></head><body><p>x</p><nav>"),
+        lit("<a href=\"/page-"), m(50), lit("\">Hub "), m(50), lit("</a>"),
+        lit("<a href=\"https://Other.org:443/a-"), m(11),
+        lit("?utm_source=z&x=1\">"),
+        when(col("doc_id") % 3 === 0, concat(lit("E"), m(11)))
+          .otherwise(concat(lit("Entity "), m(11))),
+        lit("</a>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<a href=\"mailto:a@b.c\">mail</a>")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<a href=\"rel.html\">more</a>")).otherwise(lit("")),
+        lit("</nav></body></html>")).as("html"))
+  }
+
   /** Flagship: full KG pipeline over the synthetic corpus (driver
    *  smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -486,6 +514,22 @@ object SparkEntry {
       graft.text.TextStats.bigramNextWords(t(s, d, "documents"),
         topK = 3, minCount = 2)
         .orderBy(col("w1"), col("rank"))),
+    // hyperlink extraction from raw html: each doc stands in for one page
+    // whose <nav> block carries a root-relative link, an absolute link
+    // with a default port + tracking param, and (every 4th/5th doc) a
+    // directory-relative / mailto: href — extraction, resolution and
+    // canonicalization are pure column exprs the oracle restates in RE2
+    "q61_extract_links" -> q((s, d) =>
+      graft.text.Links.extractLinks(linkPages(t(s, d, "documents")))
+        .orderBy(col("src_url"), col("pos"))),
+    // anchor-text aggregation (mined alias dictionary): top-3 anchors per
+    // destination by (count DESC, anchor ASC); the absolute link's anchor
+    // alternates between two surface forms so destinations genuinely rank
+    "q62_anchor_stats" -> q((s, d) =>
+      graft.text.Links.anchorStats(
+        graft.text.Links.extractLinks(linkPages(t(s, d, "documents"))),
+        k = 3)
+        .orderBy(col("dst_url"), col("rank"))),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -1331,6 +1375,162 @@ object SparkEntry {
                ORDER BY cnt DESC, w2 ASC) AS rank
            FROM c) WHERE rank <= 3
          ORDER BY w1, rank""",
+    // q61: the oracle re-extracts the <a> tags from the SAME constructed
+    // html with its own RE2 regexps, restates the resolution rule (scheme
+    // prefix = absolute; leading / = host-join; else directory-join) and
+    // the full q44 canonicalization, independently of the Spark exprs
+    "q61_extract_links" ->
+      """WITH pg AS (SELECT doc_id,
+           'https://www.site' || (doc_id % 7) || '.com/dir' || (doc_id % 3)
+             || '/page-' || doc_id AS src,
+           '<html><head><title>t</title></head><body><p>x</p><nav>'
+             || '<a href="/page-' || (doc_id % 50) || '">Hub '
+             || (doc_id % 50) || '</a>'
+             || '<a href="https://Other.org:443/a-' || (doc_id % 11)
+             || '?utm_source=z&x=1">'
+             || CASE WHEN doc_id % 3 = 0 THEN 'E' || (doc_id % 11)
+                     ELSE 'Entity ' || (doc_id % 11) END || '</a>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<a href="rel.html">more</a>' ELSE '' END
+             || '</nav></body></html>' AS html FROM documents),
+         tg AS (SELECT doc_id, src,
+             unnest(list_zip(
+               regexp_extract_all(html, '(?i)<a\s[^>]*>[^<]*</a>'),
+               range(len(regexp_extract_all(html,
+                 '(?i)<a\s[^>]*>[^<]*</a>'))))) AS z
+           FROM pg),
+         ex AS (SELECT doc_id, src, CAST(z[2] AS INTEGER) AS pos,
+             regexp_extract(z[1], '(?i)href="([^"]*)"', 1) AS href,
+             trim(regexp_extract(z[1], '>([^<]*)<', 1)) AS anchor
+           FROM tg),
+         rs AS (SELECT doc_id, src, pos, href, anchor,
+             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    THEN href
+                  WHEN href LIKE '/%' THEN regexp_extract(src,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+                  ELSE regexp_extract(src,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+                    regexp_replace(regexp_extract(src,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                      '[^/]*$', '') || href END AS resolved
+           FROM ex WHERE href <> ''),
+         keep AS (SELECT * FROM rs
+           WHERE regexp_matches(resolved, '^(?i)https?://')),
+         urls AS (SELECT src AS u FROM pg
+                  UNION SELECT resolved FROM keep),
+         c0 AS (SELECT u, regexp_replace(trim(u), '#.*', '') AS t FROM urls),
+         c1 AS (SELECT u,
+             lower(regexp_extract(t,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(t,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+             regexp_extract(t,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+           FROM c0),
+         c2 AS (SELECT u, scheme,
+             CASE WHEN scheme = 'https' THEN regexp_replace(
+                    regexp_replace(auth, '^www\.', ''), ':443$', '')
+                  WHEN scheme = 'http' THEN regexp_replace(
+                    regexp_replace(auth, '^www\.', ''), ':80$', '')
+                  ELSE regexp_replace(auth, '^www\.', '') END AS host,
+             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') END AS path,
+             coalesce(array_to_string(list_filter(
+               string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+               x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                    AND x <> ''), '&'), '') AS query
+           FROM c1),
+         cn AS (SELECT u, scheme || '://' || host || path ||
+             CASE WHEN query = '' THEN '' ELSE '?' || query END AS cu
+           FROM c2)
+         SELECT s.cu AS src_url, k.pos, k.href, d.cu AS dst_url, k.anchor
+         FROM keep k JOIN cn s ON s.u = k.src JOIN cn d ON d.u = k.resolved
+         ORDER BY src_url, pos""",
+    // q62: anchor rollup over the SAME re-extracted edges — count per
+    // (dst, anchor), rank by (n DESC, anchor ASC), per-dst src totals
+    "q62_anchor_stats" ->
+      """WITH pg AS (SELECT doc_id,
+           'https://www.site' || (doc_id % 7) || '.com/dir' || (doc_id % 3)
+             || '/page-' || doc_id AS src,
+           '<html><head><title>t</title></head><body><p>x</p><nav>'
+             || '<a href="/page-' || (doc_id % 50) || '">Hub '
+             || (doc_id % 50) || '</a>'
+             || '<a href="https://Other.org:443/a-' || (doc_id % 11)
+             || '?utm_source=z&x=1">'
+             || CASE WHEN doc_id % 3 = 0 THEN 'E' || (doc_id % 11)
+                     ELSE 'Entity ' || (doc_id % 11) END || '</a>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<a href="rel.html">more</a>' ELSE '' END
+             || '</nav></body></html>' AS html FROM documents),
+         tg AS (SELECT doc_id, src,
+             unnest(list_zip(
+               regexp_extract_all(html, '(?i)<a\s[^>]*>[^<]*</a>'),
+               range(len(regexp_extract_all(html,
+                 '(?i)<a\s[^>]*>[^<]*</a>'))))) AS z
+           FROM pg),
+         ex AS (SELECT doc_id, src, CAST(z[2] AS INTEGER) AS pos,
+             regexp_extract(z[1], '(?i)href="([^"]*)"', 1) AS href,
+             trim(regexp_extract(z[1], '>([^<]*)<', 1)) AS anchor
+           FROM tg),
+         rs AS (SELECT doc_id, src, pos, href, anchor,
+             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    THEN href
+                  WHEN href LIKE '/%' THEN regexp_extract(src,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+                  ELSE regexp_extract(src,
+                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+                    regexp_replace(regexp_extract(src,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                      '[^/]*$', '') || href END AS resolved
+           FROM ex WHERE href <> ''),
+         keep AS (SELECT * FROM rs
+           WHERE regexp_matches(resolved, '^(?i)https?://')),
+         urls AS (SELECT src AS u FROM pg
+                  UNION SELECT resolved FROM keep),
+         c0 AS (SELECT u, regexp_replace(trim(u), '#.*', '') AS t FROM urls),
+         c1 AS (SELECT u,
+             lower(regexp_extract(t,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(t,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+             regexp_extract(t,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+           FROM c0),
+         c2 AS (SELECT u, scheme,
+             CASE WHEN scheme = 'https' THEN regexp_replace(
+                    regexp_replace(auth, '^www\.', ''), ':443$', '')
+                  WHEN scheme = 'http' THEN regexp_replace(
+                    regexp_replace(auth, '^www\.', ''), ':80$', '')
+                  ELSE regexp_replace(auth, '^www\.', '') END AS host,
+             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                         '/+$', '') END AS path,
+             coalesce(array_to_string(list_filter(
+               string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+               x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                    AND x <> ''), '&'), '') AS query
+           FROM c1),
+         cn AS (SELECT u, scheme || '://' || host || path ||
+             CASE WHEN query = '' THEN '' ELSE '?' || query END AS cu
+           FROM c2),
+         an AS (SELECT d.cu AS dst_url, k.anchor,
+             count(*) AS n, count(DISTINCT s.cu) AS srcs
+           FROM keep k JOIN cn s ON s.u = k.src
+                       JOIN cn d ON d.u = k.resolved
+           WHERE k.anchor <> '' GROUP BY 1, 2),
+         r AS (SELECT dst_url, anchor, n,
+             row_number() OVER (PARTITION BY dst_url
+               ORDER BY n DESC, anchor ASC) AS rank,
+             sum(srcs) OVER (PARTITION BY dst_url) AS n_srcs FROM an)
+         SELECT dst_url, anchor, n, rank, n_srcs FROM r
+         WHERE rank <= 3 ORDER BY dst_url, rank""",
     // q57: identical histogram + cumulative bracket, all BIGINT
     "q57_len_quantiles" ->
       """WITH lens AS (SELECT CAST(len(list_filter(string_split(text, ' '),

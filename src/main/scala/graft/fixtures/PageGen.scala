@@ -354,6 +354,39 @@ object PageGen {
     opts(math.abs(i) % opts.size)
   }
 
+  /** Planted related-links footer — the web-graph side of the corpus
+   *  (`text/Links.extractLinks` recovers exactly these). Deterministic
+   *  shape, function of the page index only:
+   *   - a root-relative self "top" link (exercises /-resolution);
+   *   - a hub link (hub = i - i%10) whose anchor is the hub entity's
+   *     FULL name on ~2/3 of pages and its LAST name on the rest (i%3==0)
+   *     — so `Links.aliasPairs` mines (last-name → full-name) alias
+   *     evidence per hub with the full name strictly more frequent, the
+   *     classic anchor-text alias signal;
+   *   - a next-page link with a full-name anchor;
+   *   - every 5th page a mailto: (extraction must drop it);
+   *   - every 4th page a directory-relative href (exercises dir join).
+   *  The block sits in <nav>, which TextExtractor drops (graft-extract-2),
+   *  so the byte-identical text invariant is untouched. */
+  private[graft] def hubOf(i: Int): Int = i - (i % 10)
+  private[graft] def hubEntity(i: Int): String = person(hubOf(i) + 2)
+  private[graft] def lastName(full: String): String =
+    full.split(' ').last
+  private def navBlock(i: Int, url: String): String = {
+    val hub = hubOf(i)
+    val hubName = hubEntity(i)
+    val hubAnchor = if (i % 3 == 0) lastName(hubName) else hubName
+    val esc = TextExtractor.escapeHtml _
+    val sb = new StringBuilder("<nav class=\"rel\">")
+    sb.append(s"""<a href="/page-$i">top</a>""")
+    sb.append(s"""<a href="https://site-${hub % 97}.example/page-$hub">${esc(hubAnchor)}</a>""")
+    sb.append(s"""<a href="https://site-${(i + 1) % 97}.example/page-${i + 1}">${esc(person(i + 3))}</a>""")
+    if (i % 5 == 0) sb.append("""<a href="mailto:ed@example.org">contact</a>""")
+    if (i % 4 == 0) sb.append(s"""<a href="archive-${i % 8}.html">archive</a>""")
+    sb.append("</nav>")
+    sb.toString
+  }
+
   /** Build one page (2-4 template sentences + several fillers — realistic
    *  Common-Crawl pages are KBs, not one-liners) and its gold. */
   def page(i: Int): (Page, Seq[Gold]) = {
@@ -365,8 +398,8 @@ object PageGen {
     val gold = chosen.flatMap(_._2)
     val url = s"https://site-${i % 97}.example/page-$i"
     val html = ("<html><head><title>t</title></head><body><p>" +
-      TextExtractor.escapeHtml(text) + "</p></body></html>")
-      .getBytes("UTF-8")
+      TextExtractor.escapeHtml(text) + "</p>" + navBlock(i, url) +
+      "</body></html>").getBytes("UTF-8")
     val lang = if (i % 20 == 19) Seq("de", "fr")(i % 2) else "en"
     val warcTs = new Timestamp(1700000000000L + i.toLong * 37000L)
     (Page(url, warcTs, html, text, lang), if (lang == "en") gold else Nil)

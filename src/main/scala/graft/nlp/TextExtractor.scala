@@ -15,7 +15,7 @@ import java.nio.charset.StandardCharsets
  */
 object TextExtractor {
 
-  val Version = "graft-extract-1"
+  val Version = "graft-extract-2"
 
   /** Identity when text is present (the reference contract); else html rules. */
   def extract(text: String, html: Array[Byte]): String =
@@ -23,8 +23,10 @@ object TextExtractor {
     else if (html == null) ""
     else extractHtml(new String(html, StandardCharsets.UTF_8))
 
+  // nav added in graft-extract-2: related-links blocks are boilerplate,
+  // not content (the link graph is extracted separately, text/Links.scala)
   private val DropBlocks =
-    Seq("script", "style", "head").map { t =>
+    Seq("script", "style", "head", "nav").map { t =>
       (s"(?is)<$t\\b[^>]*>.*?</$t>").r
     }
   private val BlockClose =

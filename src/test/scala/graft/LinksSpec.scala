@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.PageGen
+import graft.text.Links
+
+/** Hyperlink extraction + anchor-text alias mining over the planted
+  * corpus web graph (PageGen's <nav> footer). The extracted edge set must
+  * be EXACTLY the planted one; the alias miner must recover the
+  * (last-name → full-name) anchor pairs per hub; extraction itself must
+  * stay shuffle-free (it fuses into the scan at crawl scale). */
+class LinksSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val n = 60
+  private lazy val pages = {
+    val (ps, _) = PageGen.corpus(n)
+    spark.createDataset(ps).toDF()
+  }
+  private lazy val links = Links.extractLinks(pages)
+
+  test("extractLinks recovers exactly the planted nav edges (binary html)") {
+    val got = links.select("src_url", "dst_url", "anchor").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = (0 until n).flatMap { i =>
+      val src = s"https://site-${i % 97}.example/page-$i"
+      val hub = PageGen.hubOf(i)
+      val hubName = PageGen.hubEntity(i)
+      val hubAnchor =
+        if (i % 3 == 0) PageGen.lastName(hubName) else hubName
+      Seq(
+        (src, src, "top"), // root-relative self link, resolved + canonical
+        (src, s"https://site-${hub % 97}.example/page-$hub", hubAnchor),
+        (src, s"https://site-${(i + 1) % 97}.example/page-${i + 1}",
+          PageGen.person(i + 3))) ++
+        // mailto: planted on every 5th page must NOT appear; the
+        // directory-relative archive link resolves against the src dir
+        (if (i % 4 == 0)
+          Seq((src, s"https://site-${i % 97}.example/archive-${i % 8}.html",
+            "archive"))
+        else Nil)
+    }.toSet
+    assert(got == want)
+    // mailto never survives the https?:// keep-filter
+    assert(links.filter(col("href").startsWith("mailto:")).count() == 0)
+  }
+
+  test("extraction is shuffle-free: no Exchange in the physical plan") {
+    val plan = links.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("aliasPairs mines (last-name -> full-name) anchor evidence per hub") {
+    val got = Links.aliasPairs(links, k = 5, minCount = 2)
+      .select("alias", "canonical").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every full hub (10 linking pages) has full-name anchors on ~2/3 of
+    // its in-links and last-name anchors on the rest — the miner must
+    // emit (last, full) for each, and never the reverse
+    val hubs = (0 until n).map(PageGen.hubOf).distinct.filter(_ + 9 < n)
+    assert(hubs.nonEmpty)
+    hubs.foreach { h =>
+      val full = PageGen.hubEntity(h)
+      val last = PageGen.lastName(full)
+      assert(got.contains((last, full)), s"missing alias for hub $h")
+      assert(!got.contains((full, last)), s"reversed alias for hub $h")
+    }
+  }
+
+  test("anchorStats ranks by (count desc, anchor asc) with per-dst totals") {
+    val stats = Links.anchorStats(links, k = 5)
+    val hub0 = stats
+      .filter(col("dst_url") === "https://site-0.example/page-0")
+      .orderBy(col("rank")).collect()
+    val full = PageGen.hubEntity(0)
+    // pages 0..9 link the hub; i%3==0 (0,3,6,9) use the last name
+    assert(hub0.head.getAs[String]("anchor") == full)
+    assert(hub0.head.getAs[Long]("n") == 6L)
+    assert(hub0(1).getAs[String]("anchor") == PageGen.lastName(full))
+    assert(hub0(1).getAs[Long]("n") == 4L)
+    // third anchor: page-0's own root-relative "top" self-link
+    assert(hub0.length == 3 && hub0(2).getAs[String]("anchor") == "top")
+    // 11 distinct linking pages total (10 hub links + the self link)
+    assert(hub0.map(_.getAs[Long]("n_srcs")).toSet == Set(11L))
+  }
+}

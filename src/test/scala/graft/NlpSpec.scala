@@ -16,6 +16,14 @@ class NlpSpec extends AnyFunSuite {
     }
   }
 
+  test("extraction drops nav blocks (graft-extract-2): links are not text") {
+    val html = "<html><head><title>x</title></head><body><p>body text</p>" +
+      "<nav class=\"rel\"><a href=\"/a\">Anchor One</a>" +
+      "<a href=\"https://x.y/b\">Anchor Two</a></nav></body></html>"
+    assert(TextExtractor.extractHtml(html) == "body text")
+    assert(TextExtractor.Version == "graft-extract-2")
+  }
+
   test("extraction handles entities, multibyte and numeric refs") {
     val html = "<html><head><title>x</title></head><body><p>a &amp; b &lt;c&gt; café &#x4e2d;</p></body></html>"
     assert(TextExtractor.extractHtml(html) == "a & b <c> café 中")
