@@ -530,6 +530,43 @@ object SparkEntry {
         graft.text.Links.extractLinks(linkPages(t(s, d, "documents"))),
         k = 3)
         .orderBy(col("dst_url"), col("rank"))),
+    // crawl-snapshot delta: snapshot A omits doc_id%10==9 (those are "new"
+    // in B), snapshot B omits %10==7 ("deleted") and rewrites the text of
+    // %5==0 pages ("changed"); the rest are "unchanged" — one full-outer
+    // join on url carrying only (url, md5) rows
+    "q63_crawl_delta" -> q((s, d) => {
+      val docs = t(s, d, "documents")
+      val url = concat(lit("https://s"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string"))
+      val a = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(url.as("url"), col("text"))
+      val b = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(url.as("url"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      graft.text.Curation.crawlDelta(a, b).orderBy(col("url"))
+    }),
+    // host-level rollup of the q61 link graph: one keyed aggregate over
+    // the extracted edges (count map-side combinable, distinct pages via
+    // the two-phase rewrite), is_internal = same-host flag
+    "q64_host_graph" -> q((s, d) =>
+      graft.text.Links.hostGraph(
+        graft.text.Links.extractLinks(linkPages(t(s, d, "documents"))))
+        .orderBy(col("src_host"), col("dst_host"))),
+    // C4-style global first-occurrence span dedup: each doc is 4 lines —
+    // a 5-variant quote and a 7-variant footer (kept only by the corpus-
+    // order-first doc), a unique body line and a near-unique text prefix
+    "q65_span_dedup" -> q((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("quote "), (col("doc_id") % 5).cast("string")),
+          concat(lit("doc "), col("doc_id").cast("string"),
+            lit(" unique body")),
+          substring(col("text"), 1, 40),
+          concat(lit("footer "), (col("doc_id") % 7).cast("string")))
+          .as("text"))
+      graft.text.Curation.spanDedup(docs).orderBy(col("doc_id"))
+    }),
     "q20_embed_topk" -> q((s, d) => {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
@@ -748,6 +785,81 @@ object SparkEntry {
   /** DuckDB mirrors. Every aggregate/computed column is aliased identically
    *  on both sides; money sums are integer cents; FP-accumulation results
    *  are rounded to 6 decimals. */
+  /** Shared q61/q62/q64 oracle prefix: re-extracts the <a> tags from the
+   *  constructed html with DuckDB's own RE2 regexps, restates the
+   *  resolution rule (scheme prefix = absolute; leading / = host-join;
+   *  else directory-join) and the full q44 canonicalization — ending at
+   *  CTE `cn` (url → canonical url) with `keep` holding the surviving
+   *  raw edges. Each consumer appends its own final CTEs/SELECT. */
+  private val linkEdgeCtes: String =
+    """WITH pg AS (SELECT doc_id,
+         'https://www.site' || (doc_id % 7) || '.com/dir' || (doc_id % 3)
+           || '/page-' || doc_id AS src,
+         '<html><head><title>t</title></head><body><p>x</p><nav>'
+           || '<a href="/page-' || (doc_id % 50) || '">Hub '
+           || (doc_id % 50) || '</a>'
+           || '<a href="https://Other.org:443/a-' || (doc_id % 11)
+           || '?utm_source=z&x=1">'
+           || CASE WHEN doc_id % 3 = 0 THEN 'E' || (doc_id % 11)
+                   ELSE 'Entity ' || (doc_id % 11) END || '</a>'
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN '<a href="rel.html">more</a>' ELSE '' END
+           || '</nav></body></html>' AS html FROM documents),
+       tg AS (SELECT doc_id, src,
+           unnest(list_zip(
+             regexp_extract_all(html, '(?i)<a\s[^>]*>[^<]*</a>'),
+             range(len(regexp_extract_all(html,
+               '(?i)<a\s[^>]*>[^<]*</a>'))))) AS z
+         FROM pg),
+       ex AS (SELECT doc_id, src, CAST(z[2] AS INTEGER) AS pos,
+           regexp_extract(z[1], '(?i)href="([^"]*)"', 1) AS href,
+           trim(regexp_extract(z[1], '>([^<]*)<', 1)) AS anchor
+         FROM tg),
+       rs AS (SELECT doc_id, src, pos, href, anchor,
+           CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                  THEN href
+                WHEN href LIKE '/%' THEN regexp_extract(src,
+                  '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+                ELSE regexp_extract(src,
+                  '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+                  regexp_replace(regexp_extract(src,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                    '[^/]*$', '') || href END AS resolved
+         FROM ex WHERE href <> ''),
+       keep AS (SELECT * FROM rs
+         WHERE regexp_matches(resolved, '^(?i)https?://')),
+       urls AS (SELECT src AS u FROM pg
+                UNION SELECT resolved FROM keep),
+       c0 AS (SELECT u, regexp_replace(trim(u), '#.*', '') AS t FROM urls),
+       c1 AS (SELECT u,
+           lower(regexp_extract(t,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(t,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+           regexp_extract(t,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+         FROM c0),
+       c2 AS (SELECT u, scheme,
+           CASE WHEN scheme = 'https' THEN regexp_replace(
+                  regexp_replace(auth, '^www\.', ''), ':443$', '')
+                WHEN scheme = 'http' THEN regexp_replace(
+                  regexp_replace(auth, '^www\.', ''), ':80$', '')
+                ELSE regexp_replace(auth, '^www\.', '') END AS host,
+           CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                       '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                       '/+$', '') END AS path,
+           coalesce(array_to_string(list_filter(
+             string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                  AND x <> ''), '&'), '') AS query
+         FROM c1),
+       cn AS (SELECT u, scheme || '://' || host || path ||
+           CASE WHEN query = '' THEN '' ELSE '?' || query END AS cu
+         FROM c2)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -1379,147 +1491,15 @@ object SparkEntry {
     // html with its own RE2 regexps, restates the resolution rule (scheme
     // prefix = absolute; leading / = host-join; else directory-join) and
     // the full q44 canonicalization, independently of the Spark exprs
-    "q61_extract_links" ->
-      """WITH pg AS (SELECT doc_id,
-           'https://www.site' || (doc_id % 7) || '.com/dir' || (doc_id % 3)
-             || '/page-' || doc_id AS src,
-           '<html><head><title>t</title></head><body><p>x</p><nav>'
-             || '<a href="/page-' || (doc_id % 50) || '">Hub '
-             || (doc_id % 50) || '</a>'
-             || '<a href="https://Other.org:443/a-' || (doc_id % 11)
-             || '?utm_source=z&x=1">'
-             || CASE WHEN doc_id % 3 = 0 THEN 'E' || (doc_id % 11)
-                     ELSE 'Entity ' || (doc_id % 11) END || '</a>'
-             || CASE WHEN doc_id % 5 = 0
-                     THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
-             || CASE WHEN doc_id % 4 = 0
-                     THEN '<a href="rel.html">more</a>' ELSE '' END
-             || '</nav></body></html>' AS html FROM documents),
-         tg AS (SELECT doc_id, src,
-             unnest(list_zip(
-               regexp_extract_all(html, '(?i)<a\s[^>]*>[^<]*</a>'),
-               range(len(regexp_extract_all(html,
-                 '(?i)<a\s[^>]*>[^<]*</a>'))))) AS z
-           FROM pg),
-         ex AS (SELECT doc_id, src, CAST(z[2] AS INTEGER) AS pos,
-             regexp_extract(z[1], '(?i)href="([^"]*)"', 1) AS href,
-             trim(regexp_extract(z[1], '>([^<]*)<', 1)) AS anchor
-           FROM tg),
-         rs AS (SELECT doc_id, src, pos, href, anchor,
-             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
-                    THEN href
-                  WHEN href LIKE '/%' THEN regexp_extract(src,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
-                  ELSE regexp_extract(src,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
-                    regexp_replace(regexp_extract(src,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                      '[^/]*$', '') || href END AS resolved
-           FROM ex WHERE href <> ''),
-         keep AS (SELECT * FROM rs
-           WHERE regexp_matches(resolved, '^(?i)https?://')),
-         urls AS (SELECT src AS u FROM pg
-                  UNION SELECT resolved FROM keep),
-         c0 AS (SELECT u, regexp_replace(trim(u), '#.*', '') AS t FROM urls),
-         c1 AS (SELECT u,
-             lower(regexp_extract(t,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             lower(regexp_extract(t,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
-             regexp_extract(t,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
-           FROM c0),
-         c2 AS (SELECT u, scheme,
-             CASE WHEN scheme = 'https' THEN regexp_replace(
-                    regexp_replace(auth, '^www\.', ''), ':443$', '')
-                  WHEN scheme = 'http' THEN regexp_replace(
-                    regexp_replace(auth, '^www\.', ''), ':80$', '')
-                  ELSE regexp_replace(auth, '^www\.', '') END AS host,
-             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                         '/+$', '') = '' THEN '/'
-                  ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                         '/+$', '') END AS path,
-             coalesce(array_to_string(list_filter(
-               string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
-               x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
-                    AND x <> ''), '&'), '') AS query
-           FROM c1),
-         cn AS (SELECT u, scheme || '://' || host || path ||
-             CASE WHEN query = '' THEN '' ELSE '?' || query END AS cu
-           FROM c2)
+    "q61_extract_links" -> (linkEdgeCtes +
+      """
          SELECT s.cu AS src_url, k.pos, k.href, d.cu AS dst_url, k.anchor
          FROM keep k JOIN cn s ON s.u = k.src JOIN cn d ON d.u = k.resolved
-         ORDER BY src_url, pos""",
+         ORDER BY src_url, pos"""),
     // q62: anchor rollup over the SAME re-extracted edges — count per
     // (dst, anchor), rank by (n DESC, anchor ASC), per-dst src totals
-    "q62_anchor_stats" ->
-      """WITH pg AS (SELECT doc_id,
-           'https://www.site' || (doc_id % 7) || '.com/dir' || (doc_id % 3)
-             || '/page-' || doc_id AS src,
-           '<html><head><title>t</title></head><body><p>x</p><nav>'
-             || '<a href="/page-' || (doc_id % 50) || '">Hub '
-             || (doc_id % 50) || '</a>'
-             || '<a href="https://Other.org:443/a-' || (doc_id % 11)
-             || '?utm_source=z&x=1">'
-             || CASE WHEN doc_id % 3 = 0 THEN 'E' || (doc_id % 11)
-                     ELSE 'Entity ' || (doc_id % 11) END || '</a>'
-             || CASE WHEN doc_id % 5 = 0
-                     THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
-             || CASE WHEN doc_id % 4 = 0
-                     THEN '<a href="rel.html">more</a>' ELSE '' END
-             || '</nav></body></html>' AS html FROM documents),
-         tg AS (SELECT doc_id, src,
-             unnest(list_zip(
-               regexp_extract_all(html, '(?i)<a\s[^>]*>[^<]*</a>'),
-               range(len(regexp_extract_all(html,
-                 '(?i)<a\s[^>]*>[^<]*</a>'))))) AS z
-           FROM pg),
-         ex AS (SELECT doc_id, src, CAST(z[2] AS INTEGER) AS pos,
-             regexp_extract(z[1], '(?i)href="([^"]*)"', 1) AS href,
-             trim(regexp_extract(z[1], '>([^<]*)<', 1)) AS anchor
-           FROM tg),
-         rs AS (SELECT doc_id, src, pos, href, anchor,
-             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
-                    THEN href
-                  WHEN href LIKE '/%' THEN regexp_extract(src,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
-                  ELSE regexp_extract(src,
-                    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
-                    regexp_replace(regexp_extract(src,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                      '[^/]*$', '') || href END AS resolved
-           FROM ex WHERE href <> ''),
-         keep AS (SELECT * FROM rs
-           WHERE regexp_matches(resolved, '^(?i)https?://')),
-         urls AS (SELECT src AS u FROM pg
-                  UNION SELECT resolved FROM keep),
-         c0 AS (SELECT u, regexp_replace(trim(u), '#.*', '') AS t FROM urls),
-         c1 AS (SELECT u,
-             lower(regexp_extract(t,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             lower(regexp_extract(t,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
-             regexp_extract(t,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
-           FROM c0),
-         c2 AS (SELECT u, scheme,
-             CASE WHEN scheme = 'https' THEN regexp_replace(
-                    regexp_replace(auth, '^www\.', ''), ':443$', '')
-                  WHEN scheme = 'http' THEN regexp_replace(
-                    regexp_replace(auth, '^www\.', ''), ':80$', '')
-                  ELSE regexp_replace(auth, '^www\.', '') END AS host,
-             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                         '/+$', '') = '' THEN '/'
-                  ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                         '/+$', '') END AS path,
-             coalesce(array_to_string(list_filter(
-               string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
-               x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
-                    AND x <> ''), '&'), '') AS query
-           FROM c1),
-         cn AS (SELECT u, scheme || '://' || host || path ||
-             CASE WHEN query = '' THEN '' ELSE '?' || query END AS cu
-           FROM c2),
+    "q62_anchor_stats" -> (linkEdgeCtes +
+      """,
          an AS (SELECT d.cu AS dst_url, k.anchor,
              count(*) AS n, count(DISTINCT s.cu) AS srcs
            FROM keep k JOIN cn s ON s.u = k.src
@@ -1530,7 +1510,63 @@ object SparkEntry {
                ORDER BY n DESC, anchor ASC) AS rank,
              sum(srcs) OVER (PARTITION BY dst_url) AS n_srcs FROM an)
          SELECT dst_url, anchor, n, rank, n_srcs FROM r
-         WHERE rank <= 3 ORDER BY dst_url, rank""",
+         WHERE rank <= 3 ORDER BY dst_url, rank"""),
+    // q63: the delta restated as a full-outer join of the two snapshot
+    // selections, status from null-sides + md5 compare
+    "q63_crawl_delta" ->
+      """WITH a AS (SELECT 'https://s' || (doc_id % 7) || '.com/p' || doc_id
+             AS url, md5(text) AS h FROM documents WHERE doc_id % 10 <> 9),
+         b AS (SELECT 'https://s' || (doc_id % 7) || '.com/p' || doc_id
+             AS url,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                      ELSE text END) AS h
+           FROM documents WHERE doc_id % 10 <> 7)
+         SELECT coalesce(a.url, b.url) AS url,
+           CASE WHEN a.url IS NULL THEN 'new'
+                WHEN b.url IS NULL THEN 'deleted'
+                WHEN a.h = b.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           a.h AS old_md5, b.h AS new_md5
+         FROM a FULL OUTER JOIN b ON a.url = b.url ORDER BY url""",
+    // q64: host rollup over the same re-extracted canonical edges
+    "q64_host_graph" -> (linkEdgeCtes +
+      """,
+         ed AS (SELECT s.cu AS src_url, d.cu AS dst_url
+           FROM keep k JOIN cn s ON s.u = k.src
+                       JOIN cn d ON d.u = k.resolved),
+         h AS (SELECT
+             regexp_extract(src_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS src_host,
+             regexp_extract(dst_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS dst_host,
+             src_url FROM ed)
+         SELECT src_host, dst_host, count(*) AS n_links,
+           count(DISTINCT src_url) AS n_pages,
+           src_host = dst_host AS is_internal
+         FROM h GROUP BY 1, 2 ORDER BY src_host, dst_host"""),
+    // q65: first-occurrence keep restated with a row_number over
+    // (doc_id, pos) per line hash; blank lines always kept
+    "q65_span_dedup" ->
+      """WITH p AS (SELECT doc_id,
+           'quote ' || (doc_id % 5) || chr(10) ||
+           'doc ' || doc_id || ' unique body' || chr(10) ||
+           substr(text, 1, 40) || chr(10) ||
+           'footer ' || (doc_id % 7) AS text
+           FROM documents),
+         l AS (SELECT doc_id, u.line, u.pos FROM p,
+               LATERAL (SELECT unnest(string_split(p.text, chr(10))) AS line,
+                        generate_subscripts(string_split(p.text, chr(10)), 1)
+                          AS pos) u),
+         w AS (SELECT doc_id, pos, line,
+             CASE WHEN len(trim(line)) = 0 THEN TRUE
+                  ELSE row_number() OVER (PARTITION BY md5(line)
+                         ORDER BY doc_id, pos) = 1 END AS keep
+           FROM l)
+         SELECT doc_id, count(*) AS n_lines,
+           CAST(coalesce(count(*) FILTER (keep), 0) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (keep), '') AS cleaned_text
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     // q57: identical histogram + cumulative bracket, all BIGINT
     "q57_len_quantiles" ->
       """WITH lens AS (SELECT CAST(len(list_filter(string_split(text, ' '),

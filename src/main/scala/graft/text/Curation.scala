@@ -269,6 +269,68 @@ object Curation {
    *  usually does). Three keyed shuffles total: distinct (hash, doc),
    *  the hash count, and the per-doc reassembly, whose collect_list is
    *  bounded by a single document's own line count. */
+  /**
+   * Crawl-snapshot delta: per-url status between two crawl snapshots —
+   * `new` (only in the new snapshot), `deleted` (only in the old),
+   * `changed` / `unchanged` (md5 of the text differs / agrees). This is
+   * the incremental-recrawl primitive: at 10^10 urls per snapshot a full
+   * reprocess is wasted compute — downstream stages (NLP, dedup, KG
+   * extraction) re-run only on `new` + `changed` rows.
+   *
+   * Contract: one row per url per snapshot (feed `latestCrawl` output if
+   * captures repeat — a duplicate url would cross-product in the join).
+   * Scale shape: the md5 is computed map-side so the single full-outer
+   * sort-merge shuffle carries (url, 32-hex) rows, never page text.
+   */
+  def crawlDelta(oldSnap: DataFrame, newSnap: DataFrame,
+                 urlCol: String = "url", textCol: String = "text")
+      : DataFrame = {
+    val a = oldSnap.select(col(urlCol).as("url"), md5(col(textCol)).as("old_md5"))
+    val b = newSnap.select(col(urlCol).as("url"), md5(col(textCol)).as("new_md5"))
+    a.join(b, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("old_md5").isNull, lit("new"))
+          .when(col("new_md5").isNull, lit("deleted"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_md5"), col("new_md5"))
+  }
+
+  /**
+   * C4-style global span dedup (Raffel et al. 2020 §2.2 dedup a repeated
+   * span everywhere EXCEPT its first occurrence; unit here = line, the
+   * same split `lineDedup` uses): a non-blank line's first occurrence in
+   * corpus order (min (doc_id, pos)) is kept, every later occurrence is
+   * dropped; blank lines always survive (they are layout, not content).
+   * Complements `lineDedup` (CCNet df-threshold: frequent lines drop
+   * EVERYWHERE) — C4 semantics preserve exactly one copy.
+   *
+   * Scale shape: the first-occurrence table is one map-side-combinable
+   * `min(struct(doc_id, pos))` per distinct line hash; the join back is
+   * keyed on md5 so the shuffle carries fixed-width hashes, never line
+   * text twice; reassembly is the per-doc collect bounded by the doc's
+   * own line count.
+   */
+  def spanDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keyed = lines.withColumn("_h",
+      when(length(trim(col("line"))) > 0, md5(col("line"))))
+    val first = keyed.filter(col("_h").isNotNull)
+      .groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_w"))
+    keyed.join(first, Seq("_h"), "left")
+      .withColumn("_keep", col("_h").isNull ||
+        (col("doc_id") === col("_w.doc_id") && col("pos") === col("_w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_keep"), 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_keep"), struct(col("pos"), col("line"))))),
+          s => s("line")), "\n").as("cleaned_text"))
+  }
+
   def lineDedup(docs: DataFrame, minDocs: Int,
                 textCol: String = "text"): DataFrame = {
     val lines = docs.select(col("doc_id"),

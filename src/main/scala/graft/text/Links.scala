@@ -117,6 +117,34 @@ object Links {
   }
 
   /**
+   * Host-level rollup of the page link graph (the "host graph" every
+   * web-graph study aggregates to before ranking or partitioning a crawl):
+   * one row per (src_host, dst_host) with total link count, DISTINCT
+   * linking pages, and an `is_internal` same-host flag. At 10^12 edges the
+   * page graph is too fine for frontier scheduling or domain authority —
+   * the host graph (|hosts|² worst case, ~|hosts| observed) is the table
+   * those decisions read.
+   *
+   * Scale shape: host extraction is a pure regex on the already-canonical
+   * urls (lowercased, www/port-stripped by `Curation.canonicalUrl`), so it
+   * fuses into the edge scan; the rollup is ONE keyed aggregate whose
+   * count is map-side combinable (the distinct-pages count keeps Spark's
+   * two-phase distinct-aggregate rewrite, still keyed by the group —
+   * never a per-host set in one task).
+   */
+  def hostGraph(links: DataFrame): DataFrame = {
+    val host = (c: Column) =>
+      regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    links
+      .select(host(col("src_url")).as("src_host"),
+        host(col("dst_url")).as("dst_host"), col("src_url"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src_url")).as("n_pages"))
+      .withColumn("is_internal", col("src_host") === col("dst_host"))
+  }
+
+  /**
    * Mined alias pairs for the entity linker: for each destination with a
    * clear canonical anchor (rank 1) and at least `minCount` support on the
    * alias side, emit (alias, canonical). The pair feeds

@@ -319,4 +319,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, "")))
     assert(got(3L) == ((1L, 1L, "solo line")))
   }
+
+  test("span dedup: first corpus-order occurrence kept, blanks survive") {
+    val d = Seq(
+      (0L, "shared quote\nzero body\n\ntail"),
+      (1L, "one body\nshared quote\nshared quote"),
+      (2L, "shared quote\n\ntwo body")
+    ).toDF("doc_id", "text")
+    val got = Curation.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 0 owns the first "shared quote" (doc_id 0, pos 0); later copies
+    // drop — including the SAME-doc repeat inside doc 1; blank lines kept
+    assert(got(0L) == ((4L, 4L, "shared quote\nzero body\n\ntail")))
+    assert(got(1L) == ((3L, 1L, "one body")))
+    assert(got(2L) == ((3L, 2L, "\ntwo body")))
+  }
+
+  test("crawl delta: new/deleted/changed/unchanged from md5 full-outer") {
+    val a = Seq(("u1", "same"), ("u2", "old text"), ("u3", "gone"))
+      .toDF("url", "text")
+    val b = Seq(("u1", "same"), ("u2", "new text"), ("u4", "fresh"))
+      .toDF("url", "text")
+    val got = Curation.crawlDelta(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "unchanged", "u2" -> "changed",
+      "u3" -> "deleted", "u4" -> "new"))
+    // hash columns: null exactly on the missing side
+    val rows = Curation.crawlDelta(a, b).collect()
+      .map(r => r.getString(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows("u3") == ((false, true)) && rows("u4") == ((true, false)))
+  }
 }

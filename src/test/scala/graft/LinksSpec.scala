@@ -86,4 +86,21 @@ class LinksSpec extends AnyFunSuite {
     // 11 distinct linking pages total (10 hub links + the self link)
     assert(hub0.map(_.getAs[Long]("n_srcs")).toSet == Set(11L))
   }
+
+  test("hostGraph equals a local recount; self-links flagged internal") {
+    def host(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val edges = links.select("src_url", "dst_url").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = edges.groupBy { case (s, d) => (host(s), host(d)) }
+      .map { case ((sh, dh), es) =>
+        (sh, dh, es.length.toLong, es.map(_._1).distinct.length.toLong,
+          sh == dh)
+      }.toSet
+    val got = Links.hostGraph(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == want)
+    // planted self-links guarantee internal rows exist, hub links external
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
 }
