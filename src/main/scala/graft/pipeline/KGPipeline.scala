@@ -343,6 +343,50 @@ object KGPipeline {
       .as[Triple]
   }
 
+  /** Telemetry: urls re-annotated (status new/changed) by the last
+   *  [[incrementalRun]]; -1 before any run. */
+  @volatile var lastIncrementalRedo: Long = -1L
+
+  /** Incremental recrawl update — [[graft.text.Curation.crawlDelta]] as a
+   *  pipeline stage 0': re-run NLP + scoring ONLY over pages whose text is
+   *  new or changed vs the previous crawl, reuse the previous run's raw
+   *  fills (its `fills_raw` snapshot) for unchanged urls, and drop the
+   *  fills of deleted/changed urls. The downstream stages (bag agg →
+   *  y gate → linking → symmetric expansion → consistency → triples)
+   *  always rerun globally over the fill union: they are the cheap tail
+   *  (per-page NLP dominates measured pipeline cost), and a global rerun
+   *  keeps every cross-page semantic (bag membership, alias linking, the
+   *  X13-X18 entity passes) EXACTLY equal to a full recompute —
+   *  PipelineE2ESpec pins triple-set equality including scores.
+   *
+   *  Scale shape: the delta carries only (url, md5, status) rows; both
+   *  downstream uses are url-keyed semi-joins; at change fraction f the
+   *  NLP stage — the dominant cost — processes f of the crawl. The delta
+   *  is deliberately NOT persisted (its two consumers each recompute the
+   *  md5 scan — noise vs the NLP saved; a run that wants it materialized
+   *  checkpoints `fills_raw` via [[run]]'s TableIO path instead), so the
+   *  method leaks no cached blocks whatever the caller does. */
+  def incrementalRun(spark: SparkSession,
+                     prevPages: Dataset[Page],
+                     prevFillsRaw: Dataset[SlotFill],
+                     newPages: Dataset[Page]): Dataset[Triple] = {
+    import spark.implicits._
+    def delta = graft.text.Curation.crawlDelta(
+      prevPages.toDF(), newPages.toDF())
+    lastIncrementalRedo =
+      delta.filter($"status".isin("new", "changed")).count()
+    val redo = newPages.join(
+      delta.filter($"status".isin("new", "changed")).select($"url"),
+      Seq("url"), "left_semi").as[Page]
+    val reused = prevFillsRaw.join(
+      delta.filter($"status" === "unchanged").select($"url".as("_keep_url")),
+      prevFillsRaw("prov.url") === col("_keep_url"), "left_semi")
+      .as[SlotFill]
+    val raw = reused.unionByName(mentionFills(spark, sentences(spark, redo)))
+    val bags = yThenNoisyOrGate(spark, aggregateBags(spark, raw))
+    consistentTriples(spark, symmetricExpand(spark, linked(spark, bags)))
+  }
+
   /** Full run; with a TableIO each stage checkpoints (with per-partition
    *  lineage columns) and the job resumes from the latest committed
    *  snapshot; per-stage metrics land in a `metrics` table. */

@@ -35,6 +35,31 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("incremental recrawl == full recompute; NLP re-runs only the delta") {
+    // previous crawl: pages 0..59. New crawl: 0..4 deleted, 10..14 changed
+    // (a donor page's content under the same url), 60..79 new, the other
+    // 35 byte-identical — so the incremental run must re-annotate exactly
+    // 25 urls and still emit the full-recompute triple set, scores and
+    // provenance included.
+    def swapped(i: Int): graft.model.Page = {
+      val keep = PageGen.page(i)._1
+      PageGen.page(i + 500)._1.copy(url = keep.url, warc_ts = keep.warc_ts)
+    }
+    val newSeq = (5 until 80).map { i =>
+      if (i >= 10 && i <= 14) swapped(i) else PageGen.page(i)._1
+    }
+    val newDs = spark.createDataset(newSeq)
+    val full = KGPipeline.run(spark, newDs).collect().toSet
+    val prevFills = KGPipeline.mentionFills(
+      spark, KGPipeline.sentences(spark, pagesDs))
+    val incr = KGPipeline.incrementalRun(spark, pagesDs, prevFills, newDs)
+      .collect().toSet
+    assert(KGPipeline.lastIncrementalRedo == 25L,
+      s"redo=${KGPipeline.lastIncrementalRedo}")
+    assert(incr == full,
+      s"onlyIncr=${(incr -- full).take(3)} onlyFull=${(full -- incr).take(3)}")
+  }
+
   test("output invariant under input partitioning (determinism at N vs 4N)") {
     val t8 = KGPipeline.run(spark, pagesDs.repartition(2)).collect()
       .map(t => (t.subj, t.pred, t.obj)).toSet
