@@ -553,6 +553,21 @@ object SparkEntry {
       graft.text.Links.hostGraph(
         graft.text.Links.extractLinks(linkPages(t(s, d, "documents"))))
         .orderBy(col("src_host"), col("dst_host"))),
+    // crawl frontier: uncrawled q61 destinations ranked by distinct
+    // referring pages; crawled set = every page's own canonical url plus
+    // the Other.org targets with doc_id%11 < 6 (simulating fetched) —
+    // top-20 by the deterministic (n_refs DESC, dst_url ASC) order
+    "q66_frontier" -> q((s, d) => {
+      val docs = t(s, d, "documents")
+      val links = graft.text.Links.extractLinks(linkPages(docs))
+      val crawled = links.select(col("src_url").as("url")).distinct()
+        .unionByName(docs.filter(col("doc_id") % 11 < 6)
+          .select(concat(lit("https://other.org/a-"),
+            (col("doc_id") % 11).cast("string"), lit("?x=1")).as("url"))
+          .distinct())
+      graft.text.Links.frontier(links, crawled, k = 20)
+        .orderBy(col("n_refs").desc, col("dst_url"))
+    }),
     // C4-style global first-occurrence span dedup: each doc is 4 lines —
     // a 5-variant quote and a 7-variant footer (kept only by the corpus-
     // order-first doc), a unique body line and a near-unique text prefix
@@ -1544,6 +1559,23 @@ object SparkEntry {
            count(DISTINCT src_url) AS n_pages,
            src_host = dst_host AS is_internal
          FROM h GROUP BY 1, 2 ORDER BY src_host, dst_host"""),
+    // q66: frontier restated over the shared re-extracted edges — NOT IN
+    // the crawled union, rollup, deterministic top-20
+    "q66_frontier" -> (linkEdgeCtes +
+      """,
+         ed AS (SELECT s.cu AS src_url, d.cu AS dst_url
+           FROM keep k JOIN cn s ON s.u = k.src
+                       JOIN cn d ON d.u = k.resolved),
+         cr AS (SELECT DISTINCT src_url AS u FROM ed
+                UNION
+                SELECT DISTINCT 'https://other.org/a-' || (doc_id % 11)
+                  || '?x=1' FROM documents WHERE doc_id % 11 < 6),
+         f AS (SELECT dst_url, count(DISTINCT src_url) AS n_refs,
+                 count(*) AS n_links
+               FROM ed WHERE dst_url NOT IN (SELECT u FROM cr)
+               GROUP BY 1)
+         SELECT dst_url, n_refs, n_links FROM f
+         ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
     // q65: first-occurrence keep restated with a row_number over
     // (doc_id, pos) per line hash; blank lines always kept
     "q65_span_dedup" ->

@@ -145,6 +145,27 @@ object Links {
   }
 
   /**
+   * Crawl frontier: destinations not yet crawled, ranked for fetch
+   * priority — the scheduling table a crawler reads between snapshots.
+   * Anti-join against the crawled url set, in-degree rollup (distinct
+   * referring pages `n_refs` + raw link count `n_links`), global top-k by
+   * the deterministic total order (n_refs DESC, dst_url ASC).
+   *
+   * Scale shape: the anti-join and the rollup are both keyed by url
+   * (map-side-combinable count; distinct-refs via the two-phase rewrite);
+   * the top-k executes as TakeOrdered per-partition heaps — never a
+   * global sort of the frontier.
+   */
+  def frontier(links: DataFrame, crawled: DataFrame, k: Int): DataFrame =
+    links.join(crawled.select(col("url").as("_c")),
+        col("dst_url") === col("_c"), "left_anti")
+      .groupBy(col("dst_url"))
+      .agg(countDistinct(col("src_url")).as("n_refs"),
+        count(lit(1)).as("n_links"))
+      .orderBy(col("n_refs").desc, col("dst_url").asc)
+      .limit(k)
+
+  /**
    * Mined alias pairs for the entity linker: for each destination with a
    * clear canonical anchor (rank 1) and at least `minCount` support on the
    * alias side, emit (alias, canonical). The pair feeds

@@ -103,4 +103,20 @@ class LinksSpec extends AnyFunSuite {
     // planted self-links guarantee internal rows exist, hub links external
     assert(got.exists(_._5) && got.exists(!_._5))
   }
+
+  test("frontier: uncrawled only, ranked (refs desc, url asc), exact top-k") {
+    val crawledDf = pages.select(col("url"))
+    val got = Links.frontier(links, crawledDf, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val crawledSet =
+      (0 until n).map(i => s"https://site-${i % 97}.example/page-$i").toSet
+    val edges = links.select("src_url", "dst_url").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = edges.filter(e => !crawledSet(e._2)).groupBy(_._2)
+      .map { case (d, es) =>
+        (d, es.map(_._1).distinct.length.toLong, es.length.toLong)
+      }.toSeq.sortBy { case (d, refs, _) => (-refs, d) }.take(5)
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(g => !crawledSet(g._1)))
+  }
 }
