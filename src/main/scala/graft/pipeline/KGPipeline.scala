@@ -359,20 +359,92 @@ object KGPipeline {
    *  X13-X18 entity passes) EXACTLY equal to a full recompute —
    *  PipelineE2ESpec pins triple-set equality including scores.
    *
-   *  Scale shape: the delta carries only (url, md5, status) rows; both
+   *  Scale shape: the delta carries only (url, status) rows; both
    *  downstream uses are url-keyed semi-joins; at change fraction f the
    *  NLP stage — the dominant cost — processes f of the crawl. The delta
-   *  is deliberately NOT persisted (its two consumers each recompute the
-   *  md5 scan — noise vs the NLP saved; a run that wants it materialized
-   *  checkpoints `fills_raw` via [[run]]'s TableIO path instead), so the
-   *  method leaks no cached blocks whatever the caller does. */
+   *  is persisted and eagerly materialized by the telemetry count, so the
+   *  md5 scan of BOTH corpora runs exactly once per increment — a `def`
+   *  here (the round-3 shape) re-ran the full-outer md5 join for each of
+   *  its three consumers, i.e. three full input scans where one suffices;
+   *  IncrProbe measured that overhead flipping the incremental path
+   *  SLOWER than a full recompute at 20k pages/5%. Cache lifecycle
+   *  follows the Linker contract: the cached block is tiny
+   *  (url+status, ~100 B/url, LRU-evictable), each incrementalFills
+   *  call releases the previous call's delta, and callers that want a
+   *  clean session call [[releaseIncrementalDelta]] after materializing
+   *  the returned Dataset. At 10^12-url scale the right form is an
+   *  ingest-time md5 column on the crawl table (computed while the bytes
+   *  are already in memory) so the delta join never rereads text at all —
+   *  this method computes it on the fly because the Page schema is the
+   *  BASELINE-pinned input shape. */
   def incrementalRun(spark: SparkSession,
                      prevPages: Dataset[Page],
                      prevFillsRaw: Dataset[SlotFill],
                      newPages: Dataset[Page]): Dataset[Triple] = {
+    val raw = incrementalFills(spark, prevPages, prevFillsRaw, newPages)
+    val bags = yThenNoisyOrGate(spark, aggregateBags(spark, raw))
+    consistentTriples(spark, symmetricExpand(spark, linked(spark, bags)))
+  }
+
+  /** Signature-table variant of [[incrementalRun]] — the form a production
+   *  recrawl loop runs: `prevSig` is the (url, md5) table
+   *  [[pageSignatures]] emitted for the PREVIOUS crawl (persisted beside
+   *  its `fills_raw` snapshot), so detecting the delta costs ONE md5 scan
+   *  of the new crawl's text plus a join against a hash-width table —
+   *  the previous crawl's text is never read again. The Page-based
+   *  overload recomputes `prevSig` from `prevPages` and exists for
+   *  one-shot comparisons; IncrProbe measured it paying ~2× the delta
+   *  cost for exactly that reason. */
+  def incrementalRunSig(spark: SparkSession,
+                        prevSig: DataFrame,
+                        prevFillsRaw: Dataset[SlotFill],
+                        newPages: Dataset[Page]): Dataset[Triple] = {
+    val raw = incrementalFillsSig(spark, prevSig, prevFillsRaw, newPages)
+    val bags = yThenNoisyOrGate(spark, aggregateBags(spark, raw))
+    consistentTriples(spark, symmetricExpand(spark, linked(spark, bags)))
+  }
+
+  /** (url, md5-of-text) signature table for a crawl snapshot — the
+   *  carry-forward state of the incremental loop (write it beside the
+   *  `fills_raw` snapshot; ~50 B/url, column-pruned scan of url+text
+   *  only). At ingest time the md5 is better computed while the page
+   *  bytes are in memory and stored as a column on the crawl table; this
+   *  derives it after the fact because the Page schema is the
+   *  BASELINE-pinned input shape. */
+  def pageSignatures(pages: Dataset[Page]): DataFrame =
+    pages.toDF().select(col("url"), md5(col("text")).as("md5"))
+
+  /** The raw-fill half of [[incrementalRun]], exposed for CHAINING
+   *  increments: its output is exactly the `fills_raw` content a full run
+   *  over `newPages` would produce, so snapshotting it (TableIO) makes it
+   *  the `prevFillsRaw` of the NEXT crawl's increment — each recrawl pays
+   *  NLP only for its own delta, forever. */
+  def incrementalFills(spark: SparkSession,
+                       prevPages: Dataset[Page],
+                       prevFillsRaw: Dataset[SlotFill],
+                       newPages: Dataset[Page]): Dataset[SlotFill] =
+    incrementalFillsSig(spark, pageSignatures(prevPages), prevFillsRaw,
+      newPages)
+
+  /** Signature-table variant of the fills half (see [[incrementalRun]]
+   *  overload). Deleted urls simply never appear on the new side, so
+   *  their previous fills drop out of the unchanged semi-join — no
+   *  explicit delete pass needed. */
+  def incrementalFillsSig(spark: SparkSession,
+                          prevSig: DataFrame,
+                          prevFillsRaw: Dataset[SlotFill],
+                          newPages: Dataset[Page]): Dataset[SlotFill] = {
     import spark.implicits._
-    def delta = graft.text.Curation.crawlDelta(
-      prevPages.toDF(), newPages.toDF())
+    releaseIncrementalDelta()
+    val delta = pageSignatures(newPages)
+      .join(prevSig.withColumnRenamed("md5", "_old_md5"),
+        Seq("url"), "left_outer")
+      .select($"url",
+        when($"_old_md5".isNull, lit("new"))
+          .when($"_old_md5" === $"md5", lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .persist()
+    lastIncrementalDelta = delta
     lastIncrementalRedo =
       delta.filter($"status".isin("new", "changed")).count()
     val redo = newPages.join(
@@ -382,9 +454,20 @@ object KGPipeline {
       delta.filter($"status" === "unchanged").select($"url".as("_keep_url")),
       prevFillsRaw("prov.url") === col("_keep_url"), "left_semi")
       .as[SlotFill]
-    val raw = reused.unionByName(mentionFills(spark, sentences(spark, redo)))
-    val bags = yThenNoisyOrGate(spark, aggregateBags(spark, raw))
-    consistentTriples(spark, symmetricExpand(spark, linked(spark, bags)))
+    reused.unionByName(mentionFills(spark, sentences(spark, redo)))
+  }
+
+  @volatile private var lastIncrementalDelta: DataFrame = null
+
+  /** Drop the (url, status) delta cached by the last [[incrementalFills]]
+   *  call (safe to call any time after its returned Dataset — and any
+   *  plan derived from it — has been materialized). */
+  def releaseIncrementalDelta(): Unit = {
+    val d = lastIncrementalDelta
+    if (d != null) {
+      lastIncrementalDelta = null
+      if (!d.sparkSession.sparkContext.isStopped) d.unpersist()
+    }
   }
 
   /** Full run; with a TableIO each stage checkpoints (with per-partition

@@ -58,6 +58,31 @@ class PipelineE2ESpec extends AnyFunSuite {
       s"redo=${KGPipeline.lastIncrementalRedo}")
     assert(incr == full,
       s"onlyIncr=${(incr -- full).take(3)} onlyFull=${(full -- incr).take(3)}")
+    // CHAIN a third crawl off the SECOND increment's fills (the snapshot
+    // a production loop would persist): 5..19 deleted, 30..34 changed
+    // again (a different donor), 80..89 new — redo exactly 15 urls, and
+    // the chained triple set still equals a from-scratch full run.
+    val fills2 = KGPipeline.incrementalFills(spark, pagesDs, prevFills, newDs)
+    val crawl3 = (20 until 90).map { i =>
+      if (i >= 30 && i <= 34)
+        PageGen.page(i + 600)._1.copy(url = PageGen.page(i)._1.url)
+      else PageGen.page(i)._1
+    }
+    val crawl3Ds = spark.createDataset(crawl3)
+    val incr3 = KGPipeline.incrementalRun(spark, newDs, fills2, crawl3Ds)
+      .collect().toSet
+    assert(KGPipeline.lastIncrementalRedo == 15L,
+      s"redo=${KGPipeline.lastIncrementalRedo}")
+    val full3 = KGPipeline.run(spark, crawl3Ds).collect().toSet
+    assert(incr3 == full3,
+      s"onlyIncr=${(incr3 -- full3).take(3)} onlyFull=${(full3 -- incr3).take(3)}")
+    // the production form — carry-forward (url, md5) signature table
+    // instead of rereading the previous crawl's text — is equivalent
+    val incr3Sig = KGPipeline.incrementalRunSig(spark,
+      KGPipeline.pageSignatures(newDs), fills2, crawl3Ds).collect().toSet
+    assert(KGPipeline.lastIncrementalRedo == 15L)
+    assert(incr3Sig == full3)
+    KGPipeline.releaseIncrementalDelta()
   }
 
   test("output invariant under input partitioning (determinism at N vs 4N)") {
