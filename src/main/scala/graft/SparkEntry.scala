@@ -57,6 +57,22 @@ object SparkEntry {
         lit("</nav></body></html>")).as("html"))
   }
 
+  /** q69/q70 input: pages whose line structure plants known per-host
+   *  boilerplate — host h's nav line on every page (frac 1.0), a promo
+   *  line on half its pages (frac 0.5 — exactly at the mine threshold),
+   *  a deal line on a third (below threshold), a unique body line, and
+   *  the doc's own 30-char prefix. */
+  private def boilerPages(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string")).as("url"),
+      concat_ws("\n",
+        concat(lit("nav h"), (col("doc_id") % 5).cast("string")),
+        concat(lit("promo "), (col("doc_id") % 10).cast("string")),
+        concat(lit("deal "), (col("doc_id") % 15).cast("string")),
+        concat(lit("body "), col("doc_id").cast("string")),
+        substring(col("text"), 1, 30)).as("text"))
+
   /** Flagship: full KG pipeline over the synthetic corpus (driver
    *  smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -567,6 +583,54 @@ object SparkEntry {
           .distinct())
       graft.text.Links.frontier(links, crawled, k = 20)
         .orderBy(col("n_refs").desc, col("dst_url"))
+    }),
+    // slowly-changing-fact intervals: timestamped (subj, pred, obj)
+    // observations derived from the events stream by id arithmetic;
+    // consecutive same-object runs collapse to validity intervals
+    // (valid_to = next run's start, NULL while current)
+    "q67_fact_intervals" -> q((s, d) => {
+      val obs = t(s, d, "events").select(
+        concat(lit("e"), (col("user_id") % 40).cast("string")).as("subj"),
+        concat(lit("p"), (col("event_id") % 3).cast("string")).as("pred"),
+        concat(lit("org"), (col("event_id") % 5).cast("string")).as("obj"),
+        col("ts"))
+      graft.link.Temporal.factIntervals(obs)
+        .orderBy(col("subj"), col("pred"), col("valid_from"), col("obj"))
+    }),
+    // KG build-to-build delta: two triple builds over overlapping document
+    // slices (B drops %10==7, rescores %5==0, gains %10==9), diffed on the
+    // triple key — the changelog an incremental-recrawl round publishes
+    "q68_kg_delta" -> q((s, d) => {
+      val docs = t(s, d, "documents")
+      def build(df: DataFrame, bump: org.apache.spark.sql.Column) = df
+        .select(
+          concat(lit("e"), (col("doc_id") % 30).cast("string")).as("subj"),
+          concat(lit("p"), (col("doc_id") % 4).cast("string")).as("pred"),
+          concat(lit("v"), (col("doc_id") % 6).cast("string")).as("obj"),
+          ((col("doc_id") % 97) + bump).as("raw"))
+        .groupBy(col("subj"), col("pred"), col("obj"))
+        .agg((max(col("raw")) / 100.0).as("score"))
+      val a = build(docs.filter(col("doc_id") % 10 =!= 9), lit(0))
+      val b = build(docs.filter(col("doc_id") % 10 =!= 7),
+        when(col("doc_id") % 5 === 0, lit(1)).otherwise(lit(0)))
+      graft.link.Temporal.kgDelta(a, b)
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+    // per-host boilerplate mining: every page of host h carries the
+    // host-wide nav line (frac 1.0, mined) and a promo line shared by
+    // ~half the host's pages (frac 0.5, exactly at the threshold) or
+    // ~a third (doc_id%15 variant, below threshold — NOT mined), plus
+    // unique body lines that never qualify
+    "q69_boilerplate" -> q((s, d) =>
+      graft.text.Curation.hostBoilerplate(boilerPages(t(s, d, "documents")))
+        .orderBy(col("host"), col("line"))),
+    // template removal with the mined table: cleaned pages keep order,
+    // counts pin how many lines each page lost
+    "q70_strip_boilerplate" -> q((s, d) => {
+      val pages = boilerPages(t(s, d, "documents"))
+      graft.text.Curation.stripBoilerplate(pages,
+        graft.text.Curation.hostBoilerplate(pages))
+        .orderBy(col("url"))
     }),
     // C4-style global first-occurrence span dedup: each doc is 4 lines —
     // a 5-variant quote and a 7-variant footer (kept only by the corpus-
@@ -1576,6 +1640,114 @@ object SparkEntry {
                GROUP BY 1)
          SELECT dst_url, n_refs, n_links FROM f
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
+    // q67: run detection restated with lag + running sum over the same
+    // deterministic (ts, obj) order; intervals via lead per run
+    "q67_fact_intervals" ->
+      """WITH obs AS (SELECT 'e' || (user_id % 40) AS subj,
+             'p' || (event_id % 3) AS pred,
+             'org' || (event_id % 5) AS obj, ts FROM events),
+         r AS (SELECT subj, pred, obj, ts,
+             CASE WHEN lag(obj) OVER w IS NULL
+                    OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS nr
+           FROM obs
+           WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, obj)),
+         rr AS (SELECT subj, pred, obj, ts, sum(nr) OVER
+             (PARTITION BY subj, pred ORDER BY ts, obj) AS run FROM r),
+         g AS (SELECT subj, pred, run, min(obj) AS obj,
+             min(ts) AS valid_from, count(*) AS n_obs
+           FROM rr GROUP BY 1, 2, 3),
+         iv AS (SELECT subj, pred, obj, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY subj, pred ORDER BY run) AS valid_to,
+             n_obs FROM g)
+         SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM iv
+         ORDER BY subj, pred, valid_from, obj""",
+    // q68: both builds re-derived, full-outer joined on the triple key;
+    // scores are max(int)/100.0 — one IEEE division on both engines
+    "q68_kg_delta" ->
+      """WITH a AS (SELECT 'e' || (doc_id % 30) AS subj,
+             'p' || (doc_id % 4) AS pred, 'v' || (doc_id % 6) AS obj,
+             max(doc_id % 97) / 100.0 AS score
+           FROM documents WHERE doc_id % 10 <> 9 GROUP BY 1, 2, 3),
+         b AS (SELECT 'e' || (doc_id % 30) AS subj,
+             'p' || (doc_id % 4) AS pred, 'v' || (doc_id % 6) AS obj,
+             max((doc_id % 97) +
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) / 100.0 AS score
+           FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1, 2, 3)
+         SELECT coalesce(a.subj, b.subj) AS subj,
+           coalesce(a.pred, b.pred) AS pred,
+           coalesce(a.obj, b.obj) AS obj,
+           a.score AS old_score, b.score AS new_score,
+           CASE WHEN a.score IS NULL THEN 'added'
+                WHEN b.score IS NULL THEN 'removed'
+                WHEN a.score = b.score THEN 'unchanged'
+                ELSE 'rescored' END AS status
+         FROM a FULL OUTER JOIN b
+           ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+         ORDER BY subj, pred, obj""",
+    // q69: per-host line mining restated — distinct (host, url, line),
+    // count per (host, md5), host page totals, threshold at >= 0.5
+    "q69_boilerplate" ->
+      """WITH p AS (SELECT
+             'https://h' || (doc_id % 5) || '.com/p' || doc_id AS url,
+             'nav h' || (doc_id % 5) || chr(10) ||
+             'promo ' || (doc_id % 10) || chr(10) ||
+             'deal ' || (doc_id % 15) || chr(10) ||
+             'body ' || doc_id || chr(10) ||
+             substr(text, 1, 30) AS text FROM documents),
+         l AS (SELECT DISTINCT
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+             url, md5(u.line) AS h, u.line AS line
+           FROM p, LATERAL (SELECT
+             unnest(string_split(p.text, chr(10))) AS line) u
+           WHERE len(trim(u.line)) > 0),
+         hp AS (SELECT regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+             count(DISTINCT url) AS host_pages FROM p GROUP BY 1),
+         c AS (SELECT host, h, min(line) AS line, count(*) AS n_pages
+           FROM l GROUP BY 1, 2)
+         SELECT c.host AS host, c.line AS line, c.n_pages AS n_pages,
+           hp.host_pages AS host_pages,
+           round(CAST(c.n_pages AS DOUBLE) / hp.host_pages, 12) AS frac
+         FROM c JOIN hp ON c.host = hp.host
+         WHERE hp.host_pages >= 2 AND c.n_pages >= 2
+           AND c.n_pages >= hp.host_pages * 0.5
+         ORDER BY host, line""",
+    // q70: the q69 mine re-derived, then pages reassembled without the
+    // mined (host, line-hash) pairs, order kept by line position
+    "q70_strip_boilerplate" ->
+      """WITH p AS (SELECT
+             'https://h' || (doc_id % 5) || '.com/p' || doc_id AS url,
+             'nav h' || (doc_id % 5) || chr(10) ||
+             'promo ' || (doc_id % 10) || chr(10) ||
+             'deal ' || (doc_id % 15) || chr(10) ||
+             'body ' || doc_id || chr(10) ||
+             substr(text, 1, 30) AS text FROM documents),
+         l AS (SELECT url,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+             u.line AS line, u.pos AS pos
+           FROM p, LATERAL (SELECT
+             unnest(string_split(p.text, chr(10))) AS line,
+             generate_subscripts(string_split(p.text, chr(10)), 1)
+               AS pos) u),
+         dl AS (SELECT DISTINCT host, url, md5(line) AS h FROM l
+           WHERE len(trim(line)) > 0),
+         hp AS (SELECT host, count(DISTINCT url) AS host_pages
+           FROM (SELECT DISTINCT host, url FROM l) GROUP BY 1),
+         c AS (SELECT host, h, count(*) AS n_pages FROM dl GROUP BY 1, 2),
+         bo AS (SELECT c.host, c.h FROM c JOIN hp ON c.host = hp.host
+           WHERE hp.host_pages >= 2 AND c.n_pages >= 2
+             AND c.n_pages >= hp.host_pages * 0.5)
+         SELECT l.url AS url, count(*) AS n_lines,
+           CAST(coalesce(count(*) FILTER (bo.h IS NULL), 0) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+             FILTER (bo.h IS NULL), '') AS cleaned_text
+         FROM l LEFT JOIN bo
+           ON bo.host = l.host AND bo.h = md5(l.line)
+         GROUP BY l.url ORDER BY url""",
     // q65: first-occurrence keep restated with a row_number over
     // (doc_id, pos) per line hash; blank lines always kept
     "q65_span_dedup" ->

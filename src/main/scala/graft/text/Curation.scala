@@ -331,6 +331,85 @@ object Curation {
           s => s("line")), "\n").as("cleaned_text"))
   }
 
+  /**
+   * Per-HOST boilerplate-line mining (CCNet-style template removal, scoped
+   * the way real web templates are scoped): a non-blank line is
+   * boilerplate for host H when it appears on ≥ `minFrac` of H's pages
+   * AND on ≥ `minCount` pages absolutely (and H has ≥ `minPages` pages —
+   * a 1-page host can't vote; without the absolute floor a 2-page host
+   * would flag EVERY line one of its pages carries). This is the
+   * complement of [[lineDedup]] (global df threshold — catches
+   * cross-site phrases) and [[spanDedup]] (C4 first-occurrence): nav bars,
+   * cookie banners and footers repeat WITHIN a host and would need a huge
+   * global threshold to catch without also eating common sentences.
+   *
+   * Output: (host, line, n_pages, host_pages, frac) — the mined template
+   * table, one row per boilerplate line. Feed it to [[stripBoilerplate]]
+   * to clean the pages.
+   *
+   * Scale shape: lines are deduped per (host, url, line-md5) — a repeated
+   * line within one page votes once — then counted with a map-side
+   * combinable aggregate keyed (host, md5); host page totals are a second
+   * small keyed count joined on host. Line text rides the count shuffle
+   * only as the min(line) partial — one surface per (host, hash) per map
+   * partition after combine (md5 collision ⇒ one deterministic surface
+   * wins, never a dropped host). Skew = pages per host, the natural
+   * web-crawl partition key.
+   */
+  def hostBoilerplate(pages: DataFrame, minFrac: Double = 0.5,
+                      minPages: Int = 2, minCount: Int = 2,
+                      urlCol: String = "url",
+                      textCol: String = "text"): DataFrame = {
+    val host = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    val lines = pages
+      .select(host.as("host"), col(urlCol).as("_url"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("host"), col("_url"), md5(col("line")).as("_h"),
+        col("line"))
+      .distinct()
+    val hostPages = pages.select(host.as("host"), col(urlCol).as("_url"))
+      .distinct()
+      .groupBy("host").agg(count(lit(1)).as("host_pages"))
+    lines.groupBy(col("host"), col("_h"))
+      .agg(min(col("line")).as("line"), count(lit(1)).as("n_pages"))
+      .join(hostPages, Seq("host"))
+      .filter(col("host_pages") >= minPages && col("n_pages") >= minCount &&
+        col("n_pages") >= col("host_pages") * minFrac)
+      .select(col("host"), col("line"), col("n_pages"), col("host_pages"),
+        round(col("n_pages").cast("double") / col("host_pages"), 12)
+          .as("frac"))
+  }
+
+  /**
+   * Remove a mined boilerplate table ([[hostBoilerplate]]) from pages:
+   * per page, drop the lines whose (host, md5) is in the table, keep
+   * order, report counts. The template table is tiny relative to the
+   * corpus (distinct boilerplate lines per host) — Spark broadcasts it;
+   * the page side stays a narrow explode/reassemble keyed by url.
+   */
+  def stripBoilerplate(pages: DataFrame, boiler: DataFrame,
+                       urlCol: String = "url",
+                       textCol: String = "text"): DataFrame = {
+    val host = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    val b = boiler.select(col("host"), md5(col("line")).as("_h"),
+      lit(true).as("_boiler"))
+    pages
+      .select(host.as("host"), col(urlCol).as("url"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_h", md5(col("line")))
+      .join(b, Seq("host", "_h"), "left")
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_boiler").isNull, 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_boiler").isNull, struct(col("pos"), col("line"))))),
+          s => s("line")), "\n").as("cleaned_text"))
+  }
+
   def lineDedup(docs: DataFrame, minDocs: Int,
                 textCol: String = "text"): DataFrame = {
     val lines = docs.select(col("doc_id"),

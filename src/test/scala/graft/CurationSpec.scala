@@ -350,4 +350,35 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
     assert(rows("u3") == ((false, true)) && rows("u4") == ((true, false)))
   }
+
+  test("host boilerplate: per-host threshold, repeats within a page vote once") {
+    val pages = Seq(
+      // host a: nav on 3/3 pages, promo on 2/3 (>=0.5), rare on 1/3
+      ("https://a.com/1", "nav-a\npromo\nrare\nbody 1"),
+      ("https://a.com/2", "nav-a\npromo\nbody 2"),
+      // repeated nav within ONE page still counts one page
+      ("https://a.com/3", "nav-a\nnav-a\nbody 3"),
+      // host b: same 'promo' line but only 1/2 pages -> NOT boilerplate
+      // for b (scoping is per host, not global)
+      ("https://b.com/1", "nav-b\npromo\nbody 4"),
+      ("https://b.com/2", "nav-b\nbody 5"),
+      // host c: single page -> below minPages, nothing mined
+      ("https://c.com/1", "nav-c\nnav-c\nbody 6")
+    ).toDF("url", "text")
+    val got = Curation.hostBoilerplate(pages)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a.com", "nav-a", 3L, 3L), ("a.com", "promo", 2L, 3L),
+      ("b.com", "nav-b", 2L, 2L)))
+    val cleaned = Curation.stripBoilerplate(pages,
+        Curation.hostBoilerplate(pages))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // host a loses nav+promo; host b loses nav only; host c keeps all
+    assert(cleaned("https://a.com/1") == ((4L, 2L, "rare\nbody 1")))
+    assert(cleaned("https://a.com/3") == ((3L, 1L, "body 3")))
+    assert(cleaned("https://b.com/1") == ((3L, 2L, "promo\nbody 4")))
+    assert(cleaned("https://c.com/1") == ((3L, 3L, "nav-c\nnav-c\nbody 6")))
+  }
 }
