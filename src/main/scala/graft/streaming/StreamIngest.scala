@@ -108,6 +108,77 @@ object StreamIngest {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Continuous-recrawl driver: each micro-batch is one crawl SNAPSHOT
+   *  (not an increment of new files — configure the source so a trigger
+   *  delivers a whole snapshot, e.g. `maxFilesPerTrigger=1` over
+   *  one-file-per-snapshot drops). Per batch the loop:
+   *
+   *   1. computes fills — full NLP for the FIRST snapshot, then
+   *      [[KGPipeline.incrementalFillsSig]] against the previous
+   *      snapshot's committed (url, md5) signature table, so every later
+   *      snapshot pays NLP only for its delta, forever;
+   *   2. materializes `fills_raw`, the downstream triple build, and the
+   *      next signature table under `root/state/<batchId>/`;
+   *   3. publishes the [[graft.link.Temporal.kgDelta]] changelog vs the
+   *      previous snapshot's triples.
+   *
+   *  State versions are batchId-keyed directories with an explicit
+   *  `_COMMITTED` marker written LAST, so a batch that dies mid-write is
+   *  never picked up as carry-forward state, and a foreachBatch retry
+   *  (same batchId) just overwrites the torn attempt — the loop is
+   *  restart-safe from the stream checkpoint. Local-FS markers stand in
+   *  for what an object-store deployment does with Iceberg snapshot
+   *  commits (SURVEY.md §1.4); the dataflow is identical. */
+  def recrawlLoop(spark: SparkSession, snapshots: Dataset[Page],
+                  root: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    snapshots.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$root/_recrawl_checkpoint")
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val stateRoot = new java.io.File(s"$root/state")
+        val prevId = Option(stateRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => new java.io.File(f, "_COMMITTED").exists)
+          .map(_.getName.toLong).filter(_ < batchId)
+          .sorted.lastOption
+        val dir = s"$root/state/$batchId"
+        val pages = batch.persist()
+        val fills = prevId match {
+          case Some(p) =>
+            KGPipeline.incrementalFillsSig(s,
+              s.read.parquet(s"$root/state/$p/sig"),
+              s.read.parquet(s"$root/state/$p/fills_raw").as[SlotFill],
+              pages)
+          case None =>
+            KGPipeline.mentionFills(s, KGPipeline.sentences(s, pages))
+        }
+        fills.write.mode("overwrite").parquet(s"$dir/fills_raw")
+        KGPipeline.releaseIncrementalDelta()
+        val raw = s.read.parquet(s"$dir/fills_raw").as[SlotFill]
+        val bags = KGPipeline.yThenNoisyOrGate(s,
+          KGPipeline.aggregateBags(s, raw))
+        KGPipeline.consistentTriples(s,
+          KGPipeline.symmetricExpand(s, KGPipeline.linked(s, bags)))
+          .write.mode("overwrite").parquet(s"$dir/triples")
+        graft.link.Linker.release()
+        KGPipeline.pageSignatures(pages)
+          .write.mode("overwrite").parquet(s"$dir/sig")
+        prevId.foreach { p =>
+          graft.link.Temporal.kgDelta(
+            s.read.parquet(s"$root/state/$p/triples"),
+            s.read.parquet(s"$dir/triples"))
+            .write.mode("overwrite").parquet(s"$dir/delta")
+        }
+        pages.unpersist()
+        new java.io.File(dir, "_COMMITTED").createNewFile()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming state for one (subj, pred, obj): the running log-complement
    *  of the noisy-or over every provenance seen so far (order-independent,
    *  so arrival order across micro-batches cannot change the result). */

@@ -61,6 +61,57 @@ class StreamingSpec extends AnyFunSuite {
       Set("alpha body", "beta body", "gamma body"))
   }
 
+  test("recrawl loop: per-snapshot incremental builds equal batch runs") {
+    import graft.pipeline.KGPipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-recrawl").toString
+    val (pages, _) = PageGen.corpus(80)
+    val snap1 = pages.take(60) // crawl 1: urls 0..59
+    // crawl 2: 0..19 deleted, 30..34 changed (donor text, same url),
+    // 60..79 new -> the increment must redo exactly 25 urls
+    val snap2 = (20 until 80).map { i =>
+      if (i >= 30 && i <= 34)
+        PageGen.page(i + 500)._1.copy(url = PageGen.page(i)._1.url)
+      else PageGen.page(i)._1
+    }
+    val inDir = s"$root/in"
+    // one parquet FILE per snapshot + maxFilesPerTrigger=1 => one
+    // micro-batch per snapshot (the loop's input contract); the sleep
+    // keeps the mtimes ordered for the file source
+    spark.createDataset(snap1).repartition(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1000)
+    spark.createDataset(snap2).repartition(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(spark.createDataset(snap1).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir).as[graft.model.Page]
+    val q = StreamIngest.recrawlLoop(spark, stream, root)
+    q.awaitTermination()
+    assert(KGPipeline.lastIncrementalRedo == 25L,
+      s"redo=${KGPipeline.lastIncrementalRedo}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("subj"), r.getAs[String]("pred"),
+        r.getAs[String]("obj"))
+    val t0 = spark.read.parquet(s"$root/state/0/triples").collect()
+      .map(key).toSet
+    val t1 = spark.read.parquet(s"$root/state/1/triples").collect()
+      .map(key).toSet
+    val b1 = KGPipeline.run(spark, spark.createDataset(snap1)).collect()
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    val b2 = KGPipeline.run(spark, spark.createDataset(snap2)).collect()
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(t0 == b1)
+    assert(t1 == b2)
+    // the published changelog agrees with a from-scratch diff
+    val delta = spark.read.parquet(s"$root/state/1/delta")
+    val statuses = delta.collect()
+      .map(r => key(r) -> r.getAs[String]("status")).toMap
+    assert(statuses.keySet == (t0 ++ t1))
+    assert(statuses.count(_._2 == "removed") == (t0 -- t1).size)
+    assert(statuses.count(_._2 == "added") == (t1 -- t0).size)
+    assert((t0 -- t1).forall(k => statuses(k) == "removed"))
+    assert((t1 -- t0).forall(k => statuses(k) == "added"))
+  }
+
   test("watermarked windowed crawl-rate emits final per-window counts") {
     val root = java.nio.file.Files.createTempDirectory("graft-rate").toString
     def page(url: String, ts: String, text: String, lang: String) =
