@@ -584,6 +584,55 @@ object SparkEntry {
       graft.text.Links.frontier(links, crawled, k = 20)
         .orderBy(col("n_refs").desc, col("dst_url"))
     }),
+    // URL-template mining: 4 hosts × 3 path families (item/{N}?page={N},
+    // post-{N}, a static page) — digit runs collapse and the crawl's
+    // shape drops out as 12 template rows with counts
+    "q71_url_templates" -> q((s, d) => {
+      val u = t(s, d, "documents").select(
+        concat(lit("https://t"), (col("doc_id") % 4).cast("string"),
+          lit(".com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("/item/"), col("doc_id").cast("string"),
+              lit("?page="), (col("doc_id") % 7).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("/post-"), col("doc_id").cast("string")))
+            .otherwise(lit("/static/about"))).as("url"))
+      graft.text.Links.urlTemplates(u)
+        .orderBy(col("host"), col("template"))
+    }),
+    // robots-style URL rules, longest-prefix wins, disallow on ties;
+    // r0: /a disallowed except the /a/1* subtree; r1: everything
+    // disallowed except /b; r2: no rules -> default allow
+    "q72_url_rules" -> q((s, d) => {
+      import s.implicits._
+      val urls = t(s, d, "documents").select(
+        concat(lit("https://r"), (col("doc_id") % 3).cast("string"),
+          lit(".com"),
+          when(col("doc_id") % 2 === 0, lit("/a/")).otherwise(lit("/b/")),
+          (col("doc_id") % 20).cast("string")).as("url"))
+      val rules = Seq(
+        ("r0.com", "/a", false), ("r0.com", "/a/1", true),
+        ("r1.com", "/", false), ("r1.com", "/b", true))
+        .toDF("host", "path_prefix", "allow")
+      graft.text.Links.applyUrlRules(urls, rules).orderBy(col("url"))
+    }),
+    // largest-remainder crawl-budget apportionment over per-host demand
+    // (sum of doc_id%13 per host — uneven on purpose); exact long
+    // arithmetic end to end, allocation sums to exactly the budget
+    "q73_crawl_budget" -> q((s, d) => {
+      val demand = t(s, d, "documents")
+        .groupBy(concat(lit("h"), (col("doc_id") % 7).cast("string"))
+          .as("host"))
+        .agg(sum(col("doc_id") % 13).as("demand"))
+      graft.text.Links.crawlBudget(demand, 1000L).orderBy(col("host"))
+    }),
+    // pairwise clustering P/R/F1 from contingency cells (never pair
+    // enumeration): pred = doc_id%40 vs gold = doc_id%50
+    "q74_cluster_metrics" -> q((s, d) =>
+      graft.link.GraphOps.clusterPairMetrics(
+        t(s, d, "documents").select(col("doc_id").as("id"),
+          (col("doc_id") % 40).as("pred_cluster"),
+          (col("doc_id") % 50).as("gold_cluster")))),
     // slowly-changing-fact intervals: timestamped (subj, pred, obj)
     // observations derived from the events stream by id arithmetic;
     // consecutive same-object runs collapse to validity intervals
@@ -1640,6 +1689,95 @@ object SparkEntry {
                GROUP BY 1)
          SELECT dst_url, n_refs, n_links FROM f
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
+    // q71: template collapse restated — NOTE the 'g' flag: DuckDB's
+    // regexp_replace is first-match-only by default, Spark's is global
+    "q71_url_templates" ->
+      """WITH u AS (SELECT 'https://t' || (doc_id % 4) || '.com' ||
+             CASE WHEN doc_id % 3 = 0
+                    THEN '/item/' || doc_id || '?page=' || (doc_id % 7)
+                  WHEN doc_id % 3 = 1 THEN '/post-' || doc_id
+                  ELSE '/static/about' END AS url FROM documents)
+         SELECT regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+           regexp_replace(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1),
+             '[0-9]+', '{N}', 'g') AS template,
+           count(*) AS n_urls, min(url) AS example
+         FROM u GROUP BY 1, 2 ORDER BY host, template""",
+    // q72: longest-prefix resolution restated with a row_number over
+    // (prefix length DESC, allow ASC — FALSE sorts first, disallow wins
+    // ties); unmatched urls surface the left join's null row -> allowed
+    "q72_url_rules" ->
+      """WITH u AS (SELECT DISTINCT 'https://r' || (doc_id % 3) || '.com'
+             || CASE WHEN doc_id % 2 = 0 THEN '/a/' ELSE '/b/' END
+             || (doc_id % 20) AS url FROM documents),
+         r(host, path_prefix, allow) AS (VALUES
+           ('r0.com', '/a', FALSE), ('r0.com', '/a/1', TRUE),
+           ('r1.com', '/', FALSE), ('r1.com', '/b', TRUE)),
+         m AS (SELECT url,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS path
+           FROM u),
+         j AS (SELECT m.url, r.path_prefix, r.allow
+           FROM m LEFT JOIN r ON m.host = r.host
+             AND starts_with(m.path, r.path_prefix)),
+         w AS (SELECT url, path_prefix, allow, row_number() OVER
+             (PARTITION BY url ORDER BY len(path_prefix) DESC,
+              allow ASC, path_prefix) AS rn FROM j)
+         SELECT url, path_prefix AS matched_prefix,
+           coalesce(allow, TRUE) AS allowed
+         FROM w WHERE rn = 1 ORDER BY url""",
+    // q73: Hamilton apportionment restated in integer arithmetic (// and
+    // %); leftover = budget - sum of floors, +1 to the largest remainders
+    "q73_crawl_budget" ->
+      """WITH dm AS (SELECT 'h' || (doc_id % 7) AS host,
+             CAST(sum(doc_id % 13) AS BIGINT) AS demand
+           FROM documents GROUP BY 1),
+         tt AS (SELECT CAST(sum(demand) AS BIGINT) AS total FROM dm),
+         f AS (SELECT host, demand,
+             CASE WHEN 1000 >= total THEN demand
+                  ELSE (1000 * demand) // total END AS fl,
+             CASE WHEN 1000 >= total THEN 0
+                  ELSE (1000 * demand) % total END AS rem,
+             total FROM dm, tt),
+         rk AS (SELECT host, demand, fl,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rank,
+             least(1000, total) -
+               CAST(sum(fl) OVER () AS BIGINT) AS leftover
+           FROM f)
+         SELECT host, demand,
+           CAST(fl + CASE WHEN rank <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS allocated
+         FROM rk ORDER BY host""",
+    // q74: contingency-cell pair counts; f1 from the ROUNDED p/r exactly
+    // like the Spark side
+    "q74_cluster_metrics" ->
+      """WITH a AS (SELECT doc_id % 40 AS pc, doc_id % 50 AS gc
+             FROM documents),
+         tp AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0)
+             AS BIGINT) AS tp_pairs
+           FROM (SELECT count(*) AS n FROM a GROUP BY pc, gc)),
+         pp AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0)
+             AS BIGINT) AS pred_pairs
+           FROM (SELECT count(*) AS n FROM a GROUP BY pc)),
+         gp AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0)
+             AS BIGINT) AS gold_pairs
+           FROM (SELECT count(*) AS n FROM a GROUP BY gc)),
+         m AS (SELECT tp_pairs, pred_pairs, gold_pairs,
+             CASE WHEN pred_pairs = 0 THEN 0.0
+               ELSE round(CAST(tp_pairs AS DOUBLE) / pred_pairs, 12)
+               END AS precision,
+             CASE WHEN gold_pairs = 0 THEN 0.0
+               ELSE round(CAST(tp_pairs AS DOUBLE) / gold_pairs, 12)
+               END AS recall
+           FROM tp, pp, gp)
+         SELECT tp_pairs, pred_pairs, gold_pairs, precision, recall,
+           CASE WHEN precision + recall = 0 THEN 0.0
+             ELSE round(2 * precision * recall / (precision + recall), 12)
+             END AS f1
+         FROM m""",
     // q67: run detection restated with lag + running sum over the same
     // deterministic (ts, obj) order; intervals via lead per run
     "q67_fact_intervals" ->

@@ -372,4 +372,43 @@ object GraphOps {
     fills.toDF().withColumn("_rn", row_number().over(w))
       .filter($"_rn" === 1).drop("_rn").as[SlotFill]
   }
+
+  /**
+   * Pairwise clustering quality (the standard entity-resolution metric
+   * for a linker's output vs a gold clustering): precision / recall / F1
+   * over ITEM PAIRS, computed from contingency-cell counts — never by
+   * enumerating pairs, which is quadratic in cluster size and intractable
+   * the moment one cluster is hot.
+   *
+   * Input: (id, pred_cluster, gold_cluster) one row per item. A pair is a
+   * true positive when both items share a pred cluster AND a gold
+   * cluster, so tp = Σ_cells C(n,2) over the (pred, gold) contingency
+   * cells, predicted pairs = Σ_pred-clusters C(n,2), gold pairs likewise
+   * — three map-side-combinable counts (the largest keyed by the cell,
+   * i.e. at most min(|pred|,|gold|) per key), one output row. n·(n−1) is
+   * always even, so `div 2` stays in exact long arithmetic; P/R/F1 are
+   * single IEEE divisions of exact longs, rounded to 12 like every
+   * score-bearing output.
+   */
+  def clusterPairMetrics(assignments: DataFrame): DataFrame = {
+    def pairSum(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)))
+    val tp = pairSum(assignments.groupBy(col("pred_cluster"),
+      col("gold_cluster"))).toDF("tp_pairs")
+    val pp = pairSum(assignments.groupBy(col("pred_cluster"))).toDF("pred_pairs")
+    val gp = pairSum(assignments.groupBy(col("gold_cluster"))).toDF("gold_pairs")
+    tp.crossJoin(pp).crossJoin(gp)
+      .withColumn("precision",
+        when(col("pred_pairs") === 0, lit(0.0))
+          .otherwise(round(col("tp_pairs") / col("pred_pairs"), 12)))
+      .withColumn("recall",
+        when(col("gold_pairs") === 0, lit(0.0))
+          .otherwise(round(col("tp_pairs") / col("gold_pairs"), 12)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(round(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 12)))
+  }
 }

@@ -180,4 +180,110 @@ object Links {
       .join(canon, "dst_url")
       .select(col("alias"), col("canonical"), col("n"))
   }
+
+  /**
+   * URL-template mining: collapse every digit run in the path+query to
+   * `{N}` and group — `/p123?x=9` and `/p7?x=1` share `/p{N}?x={N}`, so a
+   * crawl's product/article/pagination families surface as a handful of
+   * (host, template) rows with counts. The standard input to crawl-budget
+   * and dedup policy ("this host is 95% one template"). One map-side
+   * combinable aggregate over a regexp projection; `example` is the min
+   * url so the row is stable under any partitioning.
+   */
+  def urlTemplates(urls: DataFrame, urlCol: String = "url"): DataFrame =
+    urls
+      .select(
+        regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1).as("host"),
+        regexp_replace(
+          regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1),
+          "[0-9]+", "{N}").as("template"),
+        col(urlCol).as("_u"))
+      .groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("n_urls"), min(col("_u")).as("example"))
+
+  /**
+   * Blocklist/allowlist URL filtering with longest-prefix-wins semantics
+   * (the robots.txt Allow/Disallow resolution rule, RFC 9309 §2.2.2):
+   * `rules` is a small (host, path_prefix, allow) table; a url matches a
+   * rule when hosts are equal and its path starts with the prefix; among
+   * matches the LONGEST prefix decides (tie → the disallow wins, the
+   * spec's conservative reading); no match → allowed. Returns the urls
+   * with (matched_prefix, allowed) so callers can both filter and audit.
+   *
+   * Scale shape: the rule table is policy-sized (thousands of rows, not
+   * corpus-sized) — Spark broadcasts it; the per-url work is one
+   * broadcast join on host plus a startsWith filter, and the winner is an
+   * ordering-encoded max_by aggregate keyed by url (no window, no sort).
+   */
+  def applyUrlRules(urls: DataFrame, rules: DataFrame,
+                    urlCol: String = "url"): DataFrame = {
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val withHost = urls.select(col(urlCol).as("url"),
+      regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1).as("host"),
+      path.as("_path"))
+    val r = rules.select(col("host"), col("path_prefix"), col("allow"))
+    withHost
+      .join(broadcast(r), Seq("host"), "left")
+      .withColumn("_m",
+        col("path_prefix").isNotNull &&
+          col("_path").startsWith(col("path_prefix")))
+      .groupBy(col("url"))
+      // winner = max by (prefix length, disallow-first): encode allow as
+      // 0/1 so a tied-length disallow (0) loses the max to nothing —
+      // i.e. (len, 0) < (len, 1) would make ALLOW win; invert so the
+      // disallow wins ties: encode allow=false as the larger key part
+      .agg(max(when(col("_m"),
+          struct(length(col("path_prefix")).as("l"),
+            when(col("allow"), 0).otherwise(1).as("d"),
+            col("path_prefix").as("p"),
+            col("allow").as("a"))))
+        .as("_w"))
+      .select(col("url"), col("_w.p").as("matched_prefix"),
+        coalesce(col("_w.a"), lit(true)).as("allowed"))
+  }
+
+  /**
+   * Per-host crawl-budget apportionment: split a fetch budget of `budget`
+   * slots across hosts proportionally to their frontier demand using
+   * largest-remainder (Hamilton) apportionment — exact integer
+   * arithmetic, so the allocation is bit-deterministic and sums to
+   * exactly `budget` (or to total demand when demand < budget; a host is
+   * never allocated more than it asked for... demand caps the share
+   * upstream because shares are ⌊budget·demand/total⌋ ≤ demand whenever
+   * budget ≤ total, and the else-branch allocates demand directly).
+   *
+   * Scale shape: demand is one count per HOST (crawl-frontier rollup —
+   * policy-sized, not url-sized); the total is a one-row broadcast; the
+   * remainder ranking is a window over the host table, documented
+   * host-cardinality-bounded like the T7 sweep.
+   */
+  def crawlBudget(demand: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = demand.agg(sum(col("demand")).as("_total"))
+    // `div`, not `/`: Column./ on longs is IEEE double division, which
+    // silently loses exactness past 2^53 — `div` stays in long arithmetic
+    val base = demand.crossJoin(broadcast(tot))
+      .withColumn("_num", lit(budget) * col("demand"))
+      .withColumn("_floor",
+        when(lit(budget) >= col("_total"), col("demand"))
+          .otherwise(expr("_num div _total")))
+      .withColumn("_rem",
+        when(lit(budget) >= col("_total"), lit(0L))
+          .otherwise(col("_num") % col("_total")))
+    val w = Window.orderBy(col("_rem").desc, col("host").asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    base
+      .withColumn("_rank", row_number().over(w))
+      .withColumn("_leftover",
+        least(lit(budget), col("_total")) - sum(col("_floor")).over(wAll))
+      .select(col("host"), col("demand"),
+        (col("_floor") +
+          when(col("_rank") <= col("_leftover"), 1L).otherwise(0L))
+          .as("allocated"))
+  }
 }

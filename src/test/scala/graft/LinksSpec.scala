@@ -119,4 +119,71 @@ class LinksSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty && got.forall(g => !crawledSet(g._1)))
   }
+
+  test("urlTemplates: digit runs collapse, counts and min-url example") {
+    val u = Seq(
+      "https://a.com/item/12?page=3", "https://a.com/item/9?page=41",
+      "https://a.com/about", "https://b.com/item/5?page=1"
+    ).toDF("url")
+    val got = Links.urlTemplates(u).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("a.com", "/item/{N}?page={N}", 2L, "https://a.com/item/12?page=3"),
+      ("a.com", "/about", 1L, "https://a.com/about"),
+      ("b.com", "/item/{N}?page={N}", 1L, "https://b.com/item/5?page=1")))
+  }
+
+  test("applyUrlRules: longest prefix wins, disallow on ties, default allow") {
+    val urls = Seq(
+      "https://x.com/a/1/deep", // /a deny vs /a/1 allow -> allow (longer)
+      "https://x.com/a/2",      // only /a matches -> deny
+      "https://x.com/c",        // host matches, no prefix -> default allow
+      "https://y.com/a/1",      // tie: /a/1 allow vs /a/1 deny -> DENY
+      "https://z.com/a/1"       // no rules for host -> default allow
+    ).toDF("url")
+    val rules = Seq(
+      ("x.com", "/a", false), ("x.com", "/a/1", true),
+      ("y.com", "/a/1", true), ("y.com", "/a/1", false))
+      .toDF("host", "path_prefix", "allow")
+    val got = Links.applyUrlRules(urls, rules).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got("https://x.com/a/1/deep") == ((Some("/a/1"), true)))
+    assert(got("https://x.com/a/2") == ((Some("/a"), false)))
+    assert(got("https://x.com/c") == ((None, true)))
+    assert(got("https://y.com/a/1") == ((Some("/a/1"), false)))
+    assert(got("https://z.com/a/1") == ((None, true)))
+  }
+
+  test("crawlBudget: exact Hamilton apportionment, sums to the budget") {
+    val demand = Seq(("h1", 5L), ("h2", 3L), ("h3", 2L), ("h4", 1L))
+      .toDF("host", "demand")
+    // budget 7, total 11: floors 3,1,1,0 (sum 5), remainders 2,10,3,7
+    // -> +1 to h2 (10) and h4 (7)
+    val got = Links.crawlBudget(demand, 7L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("h1" -> 3L, "h2" -> 2L, "h3" -> 1L, "h4" -> 1L))
+    assert(got.values.sum == 7L)
+    // budget >= total: everyone gets exactly their demand
+    val all = Links.crawlBudget(demand, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all == Map("h1" -> 5L, "h2" -> 3L, "h3" -> 2L, "h4" -> 1L))
+  }
+
+  test("clusterPairMetrics equals brute-force pair enumeration") {
+    val ids = (0 until 60).map(i => (i.toLong, i % 7, i % 9))
+    val df = ids.toDF("id", "pred_cluster", "gold_cluster")
+    val row = graft.link.GraphOps.clusterPairMetrics(df).collect()(0)
+    val pairs = for {
+      a <- ids; b <- ids if a._1 < b._1
+    } yield (a._2 == b._2, a._3 == b._3)
+    val tp = pairs.count(p => p._1 && p._2).toLong
+    val pp = pairs.count(_._1).toLong
+    val gp = pairs.count(_._2).toLong
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((tp, pp, gp)))
+    assert(row.getDouble(3) ==
+      BigDecimal(tp.toDouble / pp).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
