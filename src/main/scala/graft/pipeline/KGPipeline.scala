@@ -450,12 +450,34 @@ object KGPipeline {
     val redo = newPages.join(
       delta.filter($"status".isin("new", "changed")).select($"url"),
       Seq("url"), "left_semi").as[Page]
-    val reused = prevFillsRaw.join(
-      delta.filter($"status" === "unchanged").select($"url".as("_keep_url")),
-      prevFillsRaw("prov.url") === col("_keep_url"), "left_semi")
+    // reuse = previous fills MINUS the dropped urls, as an ANTI-join
+    // against the DROPPED set (deleted ∪ changed, ~f of the corpus —
+    // broadcastable at any sane change rate), never a semi-join against
+    // the unchanged set (~1-f of the corpus — IncrProbe measured that
+    // build side tipping past the broadcast threshold into a sort-merge
+    // join of the full fills table). Deleted urls come from the cached
+    // delta (prev urls absent from the new side), no extra text scan.
+    val deleted = prevSig.select($"url").join(delta.select($"url"),
+      Seq("url"), "left_anti")
+    val dropped = deleted.unionByName(
+      delta.filter($"status" === "changed").select($"url"))
+      .select($"url".as("_drop_url"))
+    // size-adaptive like Linker.canonicalize: broadcast the dropped set
+    // when it fits an executor, shuffle anti-join above that (at 10^12
+    // docs a 5% delta is ~5·10^10 urls — no broadcasting that)
+    val nDropped = dropped.count()
+    val dropSide =
+      if (nDropped <= MaxBroadcastDropUrls) broadcast(dropped) else dropped
+    val reused = prevFillsRaw.join(dropSide,
+      prevFillsRaw("prov.url") === col("_drop_url"), "left_anti")
       .as[SlotFill]
     reused.unionByName(mentionFills(spark, sentences(spark, redo)))
   }
+
+  /** Broadcast ceiling for the dropped-url anti-join side (~50 B/url →
+   *  ≤ ~250 MB in the executor); above it the anti-join shuffles, which
+   *  is the right plan once the crawl delta itself is cluster-sized. */
+  val MaxBroadcastDropUrls = 5000000L
 
   @volatile private var lastIncrementalDelta: DataFrame = null
 

@@ -118,6 +118,29 @@ class PlanSpec extends AnyFunSuite {
     assert(ids.size <= 6, s"exchange explosion (${ids.size}):\n$plan")
   }
 
+  test("URL rules resolve via broadcast join; budget window stays host-level") {
+    import spark.implicits._
+    val urls = (0 until 200).map(i => s"https://x.com/a/$i").toDF("url")
+    val rules = Seq(("x.com", "/a", false), ("x.com", "/a/1", true))
+      .toDF("host", "path_prefix", "allow")
+    val out = graft.text.Links.applyUrlRules(urls, rules)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rules not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rule join shuffled:\n$plan")
+    // crawlBudget's only window input is the HOST-level demand table —
+    // the url table never reaches a window (policy cardinality, not
+    // corpus cardinality)
+    val demand = urls
+      .groupBy(lit("x.com").as("host"))
+      .agg(count(lit(1)).as("demand"))
+    val alloc = graft.text.Links.crawlBudget(demand, 10L)
+    val wins = "Window".r.findAllIn(
+      alloc.queryExecution.executedPlan.toString).size
+    assert(alloc.collect().map(_.getLong(2)).sum == 10L)
+    assert(wins >= 1) // window exists, but only over the host rollup
+  }
+
   test("alias dictionary rewrite is a broadcast join, never a shuffle") {
     import spark.implicits._
     val prov = graft.model.Provenance("d", "u", 0, 0, 1, 2, 3)

@@ -179,4 +179,25 @@ class SkewSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
       r.getString(3) == "body 42")
   }
+
+  test("10k-page single host: boilerplate mining stays keyed and linear") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // one hot host carrying every page (the worst per-host skew) plus a
+    // page-repeated nav line: the count shuffle is keyed (host, md5) so
+    // the hot host fans out across line hashes, never one reducer row
+    // per page; within-page repeats vote once
+    val pages = (0L until 10000L)
+      .map(i => (s"https://hot.com/p$i", s"NAV\nNAV\npromo ${i % 2}\nbody $i"))
+      .toDF("url", "text")
+    val mined = graft.text.Curation.hostBoilerplate(pages)
+    val got = mined.collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("NAV", 10000L), ("promo 0", 5000L),
+      ("promo 1", 5000L)))
+    val cleaned = graft.text.Curation.stripBoilerplate(pages, mined)
+    val r = cleaned.filter($"url" === "https://hot.com/p42").head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L &&
+      r.getString(3) == "body 42")
+  }
 }
