@@ -73,6 +73,27 @@ object SparkEntry {
         concat(lit("body "), col("doc_id").cast("string")),
         substring(col("text"), 1, 30)).as("text"))
 
+  /** q75 input: pages whose html plants known block structure — a
+   *  link-dense header div and promo div (dropped by density), a long
+   *  article paragraph (kept), a short paragraph (dropped by length),
+   *  and a footer (dropped by density). */
+  private def contentPages(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("https://c"), (col("doc_id") % 5).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><div>menu <a href=\"/\">Home</a> <a href=\"/x\">"),
+        lit("More links here</a></div>"),
+        lit("<p>article body sentence "), col("doc_id").cast("string"),
+        lit(" long enough to clear the floor easily "),
+        substring(col("text"), 1, 40), lit("</p>"),
+        lit("<p>short</p>"),
+        lit("<div>promo <a href=\"/buy\">Buy item "),
+        (col("doc_id") % 3).cast("string"), lit(" now</a></div>"),
+        lit("<footer>site "), (col("doc_id") % 7).cast("string"),
+        lit(" <a href=\"/tos\">Terms of service</a></footer>"),
+        lit("</body></html>")).as("page_html"))
+
   /** Flagship: full KG pipeline over the synthetic corpus (driver
    *  smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -633,6 +654,13 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id").as("id"),
           (col("doc_id") % 40).as("pred_cluster"),
           (col("doc_id") % 50).as("gold_cluster")))),
+    // boilerpipe-style main-content extraction: planted block structure
+    // (link-dense header/promo/footer dropped, long article kept, short
+    // paragraph dropped) — integer length/density thresholds only
+    "q75_main_content" -> q((s, d) =>
+      graft.text.Curation.mainContent(contentPages(t(s, d, "documents")),
+        htmlCol = "page_html")
+        .orderBy(col("url"))),
     // slowly-changing-fact intervals: timestamped (subj, pred, obj)
     // observations derived from the events stream by id arithmetic;
     // consecutive same-object runs collapse to validity intervals
@@ -1689,6 +1717,43 @@ object SparkEntry {
                GROUP BY 1)
          SELECT dst_url, n_refs, n_links FROM f
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
+    // q75: block split via the same sentinel-insert trick (RE2 has no
+    // lookahead), tag strip + anchor-length sum per block, integer
+    // density threshold; chr(1) is the sentinel
+    "q75_main_content" ->
+      """WITH p AS (SELECT
+             'https://c' || (doc_id % 5) || '.com/p' || doc_id AS url,
+             '<html><body><div>menu <a href="/">Home</a> <a href="/x">'
+             || 'More links here</a></div>'
+             || '<p>article body sentence ' || doc_id
+             || ' long enough to clear the floor easily '
+             || substr(text, 1, 40) || '</p>'
+             || '<p>short</p>'
+             || '<div>promo <a href="/buy">Buy item ' || (doc_id % 3)
+             || ' now</a></div>'
+             || '<footer>site ' || (doc_id % 7)
+             || ' <a href="/tos">Terms of service</a></footer>'
+             || '</body></html>' AS page_html FROM documents),
+         b AS (SELECT url, u.pos, u.block FROM p, LATERAL (SELECT
+             unnest(string_split(regexp_replace(p.page_html,
+               '<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
+               chr(1))) AS block,
+             generate_subscripts(string_split(regexp_replace(p.page_html,
+               '<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
+               chr(1)), 1) AS pos) u),
+         m AS (SELECT url, pos,
+             trim(regexp_replace(block, '<[^>]*>', ' ', 'g')) AS txt,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(block, '<a[^>]*>([^<]*)</a>', 1),
+               x -> len(x))), 0) AS BIGINT) AS alen
+           FROM b)
+         SELECT url, count(*) AS n_blocks,
+           CAST(coalesce(count(*) FILTER (len(txt) >= 20
+               AND alen * 100 <= len(txt) * 30), 0) AS BIGINT) AS n_kept,
+           coalesce(string_agg(txt, chr(10) ORDER BY pos)
+             FILTER (len(txt) >= 20 AND alen * 100 <= len(txt) * 30), '')
+             AS main_text
+         FROM m GROUP BY url ORDER BY url""",
     // q71: template collapse restated — NOTE the 'g' flag: DuckDB's
     // regexp_replace is first-match-only by default, Spark's is global
     "q71_url_templates" ->

@@ -445,8 +445,16 @@ object KGPipeline {
           .otherwise(lit("changed")).as("status"))
       .persist()
     lastIncrementalDelta = delta
-    lastIncrementalRedo =
-      delta.filter($"status".isin("new", "changed")).count()
+    // one status-rollup job materializes the delta cache AND yields every
+    // count the method needs; |dropped| = |prev| − unchanged (deleted =
+    // prev urls absent from the new side, changed swap reuse for redo),
+    // so no count ever runs a join — IncrProbe caught an earlier
+    // dropped.count() paying a 200k×210k sort-merge anti-join just to
+    // pick a join strategy
+    val statusCounts = delta.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    lastIncrementalRedo = statusCounts.getOrElse("new", 0L) +
+      statusCounts.getOrElse("changed", 0L)
     val redo = newPages.join(
       delta.filter($"status".isin("new", "changed")).select($"url"),
       Seq("url"), "left_semi").as[Page]
@@ -464,8 +472,11 @@ object KGPipeline {
       .select($"url".as("_drop_url"))
     // size-adaptive like Linker.canonicalize: broadcast the dropped set
     // when it fits an executor, shuffle anti-join above that (at 10^12
-    // docs a 5% delta is ~5·10^10 urls — no broadcasting that)
-    val nDropped = dropped.count()
+    // docs a 5% delta is ~5·10^10 urls — no broadcasting that). The size
+    // comes from arithmetic over the status rollup + a metadata-only
+    // parquet count — never a join
+    val nDropped =
+      prevSig.count() - statusCounts.getOrElse("unchanged", 0L)
     val dropSide =
       if (nDropped <= MaxBroadcastDropUrls) broadcast(dropped) else dropped
     val reused = prevFillsRaw.join(dropSide,

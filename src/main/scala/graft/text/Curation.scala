@@ -410,6 +410,53 @@ object Curation {
           s => s("line")), "\n").as("cleaned_text"))
   }
 
+  /**
+   * Main-content extraction (boilerpipe-style link-density heuristic,
+   * Kohlschütter et al. WSDM 2010 §3 reduced to its two strongest
+   * features): split html into blocks at block-level open tags, strip
+   * tags, and keep blocks that are long enough (≥ `minLen` chars) and
+   * link-poor enough (anchor-text chars · 100 ≤ text chars ·
+   * `maxDensityPct` — integer arithmetic, no float threshold). Nav bars,
+   * footers and promo blocks are short and link-dense; article bodies are
+   * the opposite. Output: (url, n_blocks, n_kept, main_text) with kept
+   * blocks joined in document order.
+   *
+   * Implementation notes for the oracle twin: the block split inserts a
+   * `\\u0001` sentinel BEFORE each block tag and splits on it (RE2 has no
+   * lookahead, and DuckDB is RE2 — a lookahead split would be
+   * inexpressible there); all regexes stay in the RE2 ∩ java.util.regex
+   * common subset. Per-url work is linear in page size; the only shuffle
+   * is the per-url reassembly groupBy.
+   */
+  def mainContent(pages: DataFrame, minLen: Int = 20,
+                  maxDensityPct: Int = 30, urlCol: String = "url",
+                  htmlCol: String = "html"): DataFrame = {
+    val marked = regexp_replace(col(htmlCol),
+      "<(p|div|nav|footer|h[1-6])\\b", "\u0001<$1")
+    val blocks = pages
+      .select(col(urlCol).as("url"),
+        posexplode(split(marked, "\u0001")).as(Seq("pos", "block")))
+      .withColumn("txt",
+        trim(regexp_replace(col("block"), "<[^>]*>", " ")))
+      .withColumn("alen",
+        aggregate(
+          transform(
+            regexp_extract_all(col("block"), lit("<a[^>]*>([^<]*)</a>"),
+              lit(1)),
+            a => length(a)),
+          lit(0), (acc, x) => acc + x))
+      .withColumn("keep",
+        length(col("txt")) >= minLen &&
+          col("alen") * 100 <= length(col("txt")) * maxDensityPct)
+    blocks.groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("txt"))))),
+          s => s("txt")), "\n").as("main_text"))
+  }
+
   def lineDedup(docs: DataFrame, minDocs: Int,
                 textCol: String = "text"): DataFrame = {
     val lines = docs.select(col("doc_id"),

@@ -351,6 +351,31 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("u3") == ((false, true)) && rows("u4") == ((true, false)))
   }
 
+  test("mainContent: link-dense and short blocks drop, article survives") {
+    val pages = Seq(
+      ("u1",
+        "<html><body>" +
+          "<div>nav <a href=\"/\">Home page</a> <a href=\"/a\">All the posts</a></div>" +
+          "<p>this is a long article paragraph about real things</p>" +
+          "<p>tiny</p>" +
+          "<h2>a mid-length heading with words</h2>" +
+          "<footer>contact us at <a href=\"/c\">the contact form here</a></footer>" +
+          "</body></html>"),
+      // page that is ALL boilerplate -> empty main_text, zero kept
+      ("u2", "<div><a href=\"/x\">only a link lives here</a></div>")
+    ).toDF("url", "html")
+    val got = Curation.mainContent(pages).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // u1 blocks: preamble(empty) / nav / article / tiny / h2 / footer
+    assert(got("u1")._1 == 6L)
+    assert(got("u1")._2 == 2L)
+    assert(got("u1")._3 ==
+      "this is a long article paragraph about real things\n" +
+        "a mid-length heading with words")
+    assert(got("u2") == ((2L, 0L, "")))
+  }
+
   test("host boilerplate: per-host threshold, repeats within a page vote once") {
     val pages = Seq(
       // host a: nav on 3/3 pages, promo on 2/3 (>=0.5), rare on 1/3

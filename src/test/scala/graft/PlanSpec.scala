@@ -118,6 +118,26 @@ class PlanSpec extends AnyFunSuite {
     assert(ids.size <= 6, s"exchange explosion (${ids.size}):\n$plan")
   }
 
+  test("incremental reuse filter is a broadcast anti-join on the dropped set") {
+    import spark.implicits._
+    val (pages, _) = graft.fixtures.PageGen.corpus(30)
+    val prev = spark.createDataset(pages)
+    val next = spark.createDataset(pages.drop(5) ++
+      Seq(graft.fixtures.PageGen.page(900)._1))
+    val prevFills = graft.pipeline.KGPipeline.mentionFills(spark,
+      graft.pipeline.KGPipeline.sentences(spark, prev))
+    val fills = graft.pipeline.KGPipeline.incrementalFillsSig(spark,
+      graft.pipeline.KGPipeline.pageSignatures(prev), prevFills, next)
+    fills.collect()
+    val plan = fills.queryExecution.executedPlan.toString
+    // the reused side must anti-join against the SMALL dropped set via
+    // broadcast — a sort-merge anti/semi join here means the build side
+    // was the corpus-sized unchanged set (the shape IncrProbe caught)
+    assert("BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"no broadcast anti-join:\n$plan")
+    graft.pipeline.KGPipeline.releaseIncrementalDelta()
+  }
+
   test("URL rules resolve via broadcast join; budget window stays host-level") {
     import spark.implicits._
     val urls = (0 until 200).map(i => s"https://x.com/a/$i").toDF("url")
