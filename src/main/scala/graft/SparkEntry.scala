@@ -661,6 +661,14 @@ object SparkEntry {
       graft.text.Curation.mainContent(contentPages(t(s, d, "documents")),
         htmlCol = "page_html")
         .orderBy(col("url"))),
+    // BPE round-1 statistics: weighted adjacent character-pair counts
+    // over the word-frequency table (the aggregation every merge round
+    // of Bpe.trainMerges runs; the full iterative trainer is spec-gated
+    // against a single-JVM reference in BpeSpec) — top-50 deterministic
+    "q76_bpe_pairs" -> q((s, d) =>
+      graft.text.Bpe.pairCounts(graft.text.Bpe.symbolize(
+        graft.text.Bpe.wordFreq(t(s, d, "documents"))))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(50)),
     // slowly-changing-fact intervals: timestamped (subj, pred, obj)
     // observations derived from the events stream by id arithmetic;
     // consecutive same-object runs collapse to validity intervals
@@ -1717,6 +1725,18 @@ object SparkEntry {
                GROUP BY 1)
          SELECT dst_url, n_refs, n_links FROM f
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
+    // q76: char-pair counts restated — word freq, char split, adjacent
+    // pairs by subscript, weighted sum
+    "q76_bpe_pairs" ->
+      """WITH w AS (SELECT w, count(*) AS cnt FROM (SELECT
+             unnest(string_split_regex(lower(text), '\W+')) AS w
+             FROM documents) WHERE len(w) > 0 GROUP BY w),
+         s AS (SELECT string_split(w, '') AS cs, cnt FROM w),
+         p AS (SELECT cs[i] AS l, cs[i + 1] AS r, cnt FROM s,
+           LATERAL (SELECT
+             unnest(generate_series(1, len(cs) - 1)) AS i) u)
+         SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM p
+         GROUP BY l, r ORDER BY n DESC, l, r LIMIT 50""",
     // q75: block split via the same sentinel-insert trick (RE2 has no
     // lookahead), tag strip + anchor-length sum per block, integer
     // density threshold; chr(1) is the sentinel
