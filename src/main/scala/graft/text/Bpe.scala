@@ -70,8 +70,20 @@ object Bpe {
   /** Train `nMerges` merges; returns (rank, left, right, pair_count)
    *  in training order. Stops early when no pair repeats. */
   def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
-                  textCol: String = "text"): Seq[(Int, String, String, Long)] = {
-    var syms = symbolize(wordFreq(docs, textCol)).persist()
+                  textCol: String = "text"): Seq[(Int, String, String, Long)] =
+    trainVocab(spark, docs, nMerges, textCol)._1
+
+  /** Like [[trainMerges]] but also returns the trained SEGMENTATION
+   *  table (word, syms, cnt) — the final symbolization of every corpus
+   *  word, which IS the encoder: segmenting a corpus with trained merges
+   *  is a join of its words against this table ([[encode]]), one corpus
+   *  pass, never nMerges re-walks of the text. The caller unpersists the
+   *  returned DataFrame when done. */
+  def trainVocab(spark: SparkSession, docs: DataFrame, nMerges: Int,
+                 textCol: String = "text")
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var syms = symbolize(wordFreq(docs, textCol))
+      .withColumn("word", concat_ws("", col("syms"))).persist()
     syms.count()
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var stop = false
@@ -85,7 +97,8 @@ object Bpe {
         val (l, r, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, l, r, n))
-        val merged = syms.select(mergeExpr(l, r).as("syms"), col("cnt"))
+        val merged = syms.select(mergeExpr(l, r).as("syms"), col("cnt"),
+          col("word"))
         // plan barrier: re-encoding references the previous round's plan;
         // without the cut the chain re-nests per round (CC/kCore lesson)
         val next = spark.createDataFrame(merged.rdd, merged.schema).persist()
@@ -95,7 +108,31 @@ object Bpe {
         rank += 1
       }
     }
-    syms.unpersist()
-    out.result()
+    (out.result(), syms)
+  }
+
+  /** Segment a corpus with a trained segmentation table
+   *  ([[trainVocab]]'s second result): per doc, subword counts and the
+   *  segmented word stream. One corpus pass + one join keyed on the word
+   *  (the vocab side is dictionary-sized — Spark broadcasts it when it
+   *  fits, shuffles otherwise); out-of-vocabulary words fall back to
+   *  their character split, the reference encoder's behavior for unseen
+   *  words with no applicable merges. */
+  def encode(docs: DataFrame, vocab: DataFrame,
+             textCol: String = "text"): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      posexplode(split(lower(col(textCol)), "\\W+")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    words
+      .join(vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms",
+        coalesce(col("syms"), split(col("word"), "")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subwords"),
+        array_join(flatten(transform(array_sort(collect_list(
+          struct(col("pos"), col("syms")))), s => s("syms"))), " ")
+          .as("subword_stream"))
   }
 }

@@ -69,6 +69,42 @@ class BpeSpec extends AnyFunSuite {
     assert(want.exists { case (_, l, r, _) => (l + r).length >= 3 })
   }
 
+  test("encode: trained-vocab join segments the corpus, OOV char-splits") {
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainVocab(spark, docs, 8)
+    def mergeWord(s: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+    def seg(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (_, l, r, _)) => mergeWord(s, l, r)
+      }
+    val got = Bpe.encode(docs, vocab).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toVector
+      val want = ws.flatMap(seg)
+      assert(got(i.toLong) ==
+        ((ws.size.toLong, want.size.toLong, want.mkString(" "))),
+        s"doc $i")
+    }
+    // unseen word -> its character split
+    val oov = Seq((99L, "zzzz the")).toDF("doc_id", "text")
+    val o = Bpe.encode(oov, vocab).collect()(0)
+    assert(o.getLong(1) == 2L)
+    assert(o.getString(3).startsWith("z z z z "))
+    vocab.unpersist()
+  }
+
   test("early stop when no pair repeats") {
     val docs = Seq("ab cd ef").toDF("text")
     val got = Bpe.trainMerges(spark, docs, 10)
