@@ -661,6 +661,18 @@ object SparkEntry {
       graft.text.Curation.mainContent(contentPages(t(s, d, "documents")),
         htmlCol = "page_html")
         .orderBy(col("url"))),
+    // BFS crawl depth over the q58 arithmetic graph from seeds {0, 7}:
+    // min hop count per reachable node within 4 hops
+    "q77_crawl_depth" -> q((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("i"))
+      val edges = ids.select(col("i").as("src"), (col("i") + 1).as("dst"))
+        .union(ids.select(col("i").as("src"), (col("i") + 2).as("dst")))
+        .union(ids.select(col("i").as("src"),
+          ((col("i") * 17 + 5) % 101).as("dst")))
+      val seeds = ids.filter(col("i").isin(0, 7)).select(col("i").as("node"))
+      graft.link.GraphOps.bfsDepth(s, edges, seeds, maxDepth = 4)
+        .orderBy(col("node"))
+    }),
     // BPE round-1 statistics: weighted adjacent character-pair counts
     // over the word-frequency table (the aggregation every merge round
     // of Bpe.trainMerges runs; the full iterative trainer is spec-gated
@@ -1725,6 +1737,21 @@ object SparkEntry {
                GROUP BY 1)
          SELECT dst_url, n_refs, n_links FROM f
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
+    // q77: min-depth BFS restated as a depth-bounded recursive CTE +
+    // min() rollup (path multiplicity collapses in the GROUP BY)
+    "q77_crawl_depth" ->
+      """WITH RECURSIVE e AS (SELECT doc_id AS src, doc_id + 1 AS dst
+             FROM documents
+           UNION ALL SELECT doc_id, doc_id + 2 FROM documents
+           UNION ALL SELECT doc_id, (doc_id * 17 + 5) % 101
+             FROM documents),
+         r AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS depth
+             FROM documents WHERE doc_id IN (0, 7)
+           UNION ALL
+           SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+           WHERE r.depth < 4)
+         SELECT node, min(depth) AS depth FROM r GROUP BY node
+         ORDER BY node""",
     // q76: char-pair counts restated — word freq, char split, adjacent
     // pairs by subscript, weighted sum
     "q76_bpe_pairs" ->

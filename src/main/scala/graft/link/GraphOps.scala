@@ -360,6 +360,48 @@ object GraphOps {
         coalesce($"_s", lit(false)).as("in_core"))
   }
 
+  /**
+   * BFS layers from a seed set (crawl depth: how many hops each url sits
+   * from the seed list — the frontier scheduler's distance feature, and
+   * the link-graph twin of the closure/CC family). Returns (node, depth)
+   * with the MINIMUM hop count ≤ `maxDepth`; unreachable nodes are
+   * absent. Directed edges (src, dst).
+   *
+   * Per round: join the frontier against the edge table (frontier keyed,
+   * shrinks as the graph saturates), anti-join the known set so each node
+   * is labeled at its FIRST (minimal) depth, barrier the plan (the
+   * CC/kCore round-nesting lesson), stop early when the frontier empties.
+   * Known/frontier tables carry (node, depth) only — never neighbor
+   * lists, so a 10^4-out-degree hub costs one join row per edge, and the
+   * per-round shuffle is bounded by the frontier, not the graph.
+   */
+  def bfsDepth(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+               maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val src = edges.columns(0); val dst = edges.columns(1)
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    var known = planBarrier(spark,
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("depth", lit(0L)))
+    var frontier = known
+    var d = 0L
+    var done = false
+    while (d < maxDepth && !done) {
+      d += 1
+      val next = planBarrier(spark,
+        e.join(frontier.select($"node".as("src")), Seq("src"), "left_semi")
+          .select($"dst".as("node")).distinct()
+          .join(known, Seq("node"), "left_anti")
+          .withColumn("depth", lit(d)))
+      if (next.isEmpty) done = true
+      else {
+        known = planBarrier(spark, known.unionByName(next))
+        frontier = next
+      }
+    }
+    known
+  }
+
   /** C10 within-sentence competition (process/RelationFilter.java:23-160,
    *  PerRelTypeCompetitionFilterComponent): keep only the best-scoring
    *  pair per (sentence, relation) — opt-in, off by default in the

@@ -121,4 +121,26 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(got(6L) == ((4L, 0L, false)))
     for (v <- 7L to 9L) assert(got(v) == ((1L, 0L, false)), s"node $v")
   }
+
+  test("bfsDepth: minimal layers, cycles ignored, cutoff and early stop") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 1→2→3→4→5→6 chain with a shortcut 1→4, a back-edge 4→1 (cycle),
+    // and an island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (4L, 1L), (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.link.GraphOps.bfsDepth(spark, edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut wins for 4 (depth 1, not 3) and pulls 6 in at exactly the
+    // depth-3 cutoff (chain-only it would sit at 5 and be excluded);
+    // the island is unreachable; the 4→1 back-edge never relabels 1
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L,
+      6L -> 3L))
+    // early stop: a graph exhausted before maxDepth terminates
+    val tiny = graft.link.GraphOps.bfsDepth(spark,
+      Seq((1L, 2L)).toDF("src", "dst"), seeds, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == Map(1L -> 0L, 2L -> 1L))
+  }
 }
