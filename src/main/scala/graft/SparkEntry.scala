@@ -90,6 +90,12 @@ object SparkEntry {
         lit("<p>short</p>"),
         lit("<div>promo <a href=\"/buy\">Buy item "),
         (col("doc_id") % 3).cast("string"), lit(" now</a></div>"),
+        // uppercase markup on even docs: still split into its own block
+        // and density-dropped — exercises the (?i) tag matching
+        when(col("doc_id") % 2 === 0,
+          lit("<DIV>UPPER promo block " +
+            "<A HREF=\"/up\">Click this upper link now</A></DIV>"))
+          .otherwise(lit("")),
         lit("<footer>site "), (col("doc_id") % 7).cast("string"),
         lit(" <a href=\"/tos\">Terms of service</a></footer>"),
         lit("</body></html>")).as("page_html"))
@@ -1000,9 +1006,12 @@ object SparkEntry {
                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
                 ELSE regexp_extract(src,
                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
-                  regexp_replace(regexp_extract(src,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                    '[^/]*$', '') || href END AS resolved
+                  CASE WHEN regexp_replace(regexp_extract(src,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '[^/]*$', '') = '' THEN '/'
+                       ELSE regexp_replace(regexp_extract(src,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '[^/]*$', '') END || href END AS resolved
          FROM ex WHERE href <> ''),
        keep AS (SELECT * FROM rs
          WHERE regexp_matches(resolved, '^(?i)https?://')),
@@ -1215,7 +1224,7 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
            FROM t)
-         SELECT doc_id, n_tokens, pre // 2000 AS shard
+         SELECT doc_id, n_tokens, CAST(pre // 2000 AS BIGINT) AS shard
          FROM p ORDER BY doc_id""",
     // q41: same integer-exact ranking; the float tfidf column rides along
     // (compared within the harness's 1e-9 tolerance)
@@ -1534,7 +1543,8 @@ object SparkEntry {
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w
                 WHERE word IN ('vector', 'join', 'window')
                 GROUP BY 1, 2)
-         SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf,
+         SELECT doc_id, count(*) AS n_terms,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
            min(tf) AS min_tf
          FROM tf GROUP BY doc_id HAVING count(*) = 3
          ORDER BY doc_id""",
@@ -1684,7 +1694,8 @@ object SparkEntry {
          r AS (SELECT dst_url, anchor, n,
              row_number() OVER (PARTITION BY dst_url
                ORDER BY n DESC, anchor ASC) AS rank,
-             sum(srcs) OVER (PARTITION BY dst_url) AS n_srcs FROM an)
+             CAST(sum(srcs) OVER (PARTITION BY dst_url) AS BIGINT)
+               AS n_srcs FROM an)
          SELECT dst_url, anchor, n, rank, n_srcs FROM r
          WHERE rank <= 3 ORDER BY dst_url, rank"""),
     // q63: the delta restated as a full-outer join of the two snapshot
@@ -1778,20 +1789,23 @@ object SparkEntry {
              || '<p>short</p>'
              || '<div>promo <a href="/buy">Buy item ' || (doc_id % 3)
              || ' now</a></div>'
+             || CASE WHEN doc_id % 2 = 0 THEN '<DIV>UPPER promo block '
+                  || '<A HREF="/up">Click this upper link now</A></DIV>'
+                  ELSE '' END
              || '<footer>site ' || (doc_id % 7)
              || ' <a href="/tos">Terms of service</a></footer>'
              || '</body></html>' AS page_html FROM documents),
          b AS (SELECT url, u.pos, u.block FROM p, LATERAL (SELECT
              unnest(string_split(regexp_replace(p.page_html,
-               '<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
+               '(?i)<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
                chr(1))) AS block,
              generate_subscripts(string_split(regexp_replace(p.page_html,
-               '<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
+               '(?i)<(p|div|nav|footer|h[1-6])\b', chr(1) || '<\1', 'g'),
                chr(1)), 1) AS pos) u),
          m AS (SELECT url, pos,
              trim(regexp_replace(block, '<[^>]*>', ' ', 'g')) AS txt,
              CAST(coalesce(list_sum(list_transform(
-               regexp_extract_all(block, '<a[^>]*>([^<]*)</a>', 1),
+               regexp_extract_all(block, '(?i)<a[^>]*>([^<]*)</a>', 1),
                x -> len(x))), 0) AS BIGINT) AS alen
            FROM b)
          SELECT url, count(*) AS n_blocks,

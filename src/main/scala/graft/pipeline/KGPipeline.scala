@@ -426,16 +426,46 @@ object KGPipeline {
     incrementalFillsSig(spark, pageSignatures(prevPages), prevFillsRaw,
       newPages)
 
+  /** Per-invocation result of [[incrementalFillsDelta]]: the fills
+   *  Dataset plus THIS call's cached (url, status) delta and redo count.
+   *  Owning the cache here (instead of a process-global slot) lets two
+   *  incremental runs interleave in one session — e.g. two recrawlLoop
+   *  streams — without unpersisting each other's delta mid-plan or
+   *  racing the redo telemetry. Call [[release]] once `fills` (and any
+   *  plan derived from it) has been materialized. */
+  final case class IncrementalFills(fills: Dataset[SlotFill],
+                                    delta: DataFrame,
+                                    redoCount: Long) {
+    def release(): Unit =
+      if (!delta.sparkSession.sparkContext.isStopped) delta.unpersist()
+  }
+
   /** Signature-table variant of the fills half (see [[incrementalRun]]
    *  overload). Deleted urls simply never appear on the new side, so
    *  their previous fills drop out of the unchanged semi-join — no
-   *  explicit delete pass needed. */
+   *  explicit delete pass needed. Single-flight convenience wrapper over
+   *  [[incrementalFillsDelta]]: the delta cache and redo count land in
+   *  session-global slots ([[releaseIncrementalDelta]],
+   *  [[lastIncrementalRedo]]), so ONE incremental run at a time —
+   *  concurrent callers must use [[incrementalFillsDelta]] directly. */
   def incrementalFillsSig(spark: SparkSession,
                           prevSig: DataFrame,
                           prevFillsRaw: Dataset[SlotFill],
                           newPages: Dataset[Page]): Dataset[SlotFill] = {
-    import spark.implicits._
     releaseIncrementalDelta()
+    val h = incrementalFillsDelta(spark, prevSig, prevFillsRaw, newPages)
+    lastIncrementalDelta = h.delta
+    lastIncrementalRedo = h.redoCount
+    h.fills
+  }
+
+  /** Core of the incremental-fills path, global-state-free: returns the
+   *  fills together with the invocation's own delta cache handle. */
+  def incrementalFillsDelta(spark: SparkSession,
+                            prevSig: DataFrame,
+                            prevFillsRaw: Dataset[SlotFill],
+                            newPages: Dataset[Page]): IncrementalFills = {
+    import spark.implicits._
     val delta = pageSignatures(newPages)
       .join(prevSig.withColumnRenamed("md5", "_old_md5"),
         Seq("url"), "left_outer")
@@ -444,7 +474,6 @@ object KGPipeline {
           .when($"_old_md5" === $"md5", lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
       .persist()
-    lastIncrementalDelta = delta
     // one status-rollup job materializes the delta cache AND yields every
     // count the method needs; |dropped| = |prev| − unchanged (deleted =
     // prev urls absent from the new side, changed swap reuse for redo),
@@ -453,7 +482,7 @@ object KGPipeline {
     // pick a join strategy
     val statusCounts = delta.groupBy($"status").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    lastIncrementalRedo = statusCounts.getOrElse("new", 0L) +
+    val redoCount = statusCounts.getOrElse("new", 0L) +
       statusCounts.getOrElse("changed", 0L)
     val redo = newPages.join(
       delta.filter($"status".isin("new", "changed")).select($"url"),
@@ -482,7 +511,9 @@ object KGPipeline {
     val reused = prevFillsRaw.join(dropSide,
       prevFillsRaw("prov.url") === col("_drop_url"), "left_anti")
       .as[SlotFill]
-    reused.unionByName(mentionFills(spark, sentences(spark, redo)))
+    IncrementalFills(
+      reused.unionByName(mentionFills(spark, sentences(spark, redo))),
+      delta, redoCount)
   }
 
   /** Broadcast ceiling for the dropped-url anti-join side (~50 B/url →

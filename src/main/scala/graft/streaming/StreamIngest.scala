@@ -141,22 +141,27 @@ object StreamIngest {
         import s.implicits._
         val stateRoot = new java.io.File(s"$root/state")
         val prevId = Option(stateRoot.listFiles()).getOrElse(Array.empty)
-          .filter(f => new java.io.File(f, "_COMMITTED").exists)
+          .filter(f => f.getName.matches("\\d+") &&
+            new java.io.File(f, "_COMMITTED").exists)
           .map(_.getName.toLong).filter(_ < batchId)
           .sorted.lastOption
         val dir = s"$root/state/$batchId"
         val pages = batch.persist()
-        val fills = prevId match {
-          case Some(p) =>
-            KGPipeline.incrementalFillsSig(s,
-              s.read.parquet(s"$root/state/$p/sig"),
-              s.read.parquet(s"$root/state/$p/fills_raw").as[SlotFill],
-              pages)
-          case None =>
-            KGPipeline.mentionFills(s, KGPipeline.sentences(s, pages))
+        // per-invocation delta handle — concurrent recrawl loops in one
+        // session each own (and release) their own cache, no global slot
+        val incr = prevId.map { p =>
+          KGPipeline.incrementalFillsDelta(s,
+            s.read.parquet(s"$root/state/$p/sig"),
+            s.read.parquet(s"$root/state/$p/fills_raw").as[SlotFill],
+            pages)
         }
+        val fills = incr.map(_.fills).getOrElse(
+          KGPipeline.mentionFills(s, KGPipeline.sentences(s, pages)))
         fills.write.mode("overwrite").parquet(s"$dir/fills_raw")
-        KGPipeline.releaseIncrementalDelta()
+        incr.foreach { h =>
+          KGPipeline.lastIncrementalRedo = h.redoCount // telemetry
+          h.release()
+        }
         val raw = s.read.parquet(s"$dir/fills_raw").as[SlotFill]
         val bags = KGPipeline.yThenNoisyOrGate(s,
           KGPipeline.aggregateBags(s, raw))

@@ -432,7 +432,7 @@ object Curation {
                   maxDensityPct: Int = 30, urlCol: String = "url",
                   htmlCol: String = "html"): DataFrame = {
     val marked = regexp_replace(col(htmlCol),
-      "<(p|div|nav|footer|h[1-6])\\b", "\u0001<$1")
+      "(?i)<(p|div|nav|footer|h[1-6])\\b", "\u0001<$1")
     val blocks = pages
       .select(col(urlCol).as("url"),
         posexplode(split(marked, "\u0001")).as(Seq("pos", "block")))
@@ -441,8 +441,8 @@ object Curation {
       .withColumn("alen",
         aggregate(
           transform(
-            regexp_extract_all(col("block"), lit("<a[^>]*>([^<]*)</a>"),
-              lit(1)),
+            regexp_extract_all(col("block"),
+              lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)),
             a => length(a)),
           lit(0), (acc, x) => acc + x))
       .withColumn("keep",

@@ -93,9 +93,13 @@ object Links {
   /**
    * Top-k anchor strings per destination url by (count DESC, anchor ASC),
    * with in-degree context: (dst_url, anchor, n, rank, n_srcs) where
-   * `n_srcs` counts DISTINCT linking pages for the destination. Empty
-   * anchors are excluded. The rank-1 anchor is the destination's
-   * canonical surface form; lower ranks are its mined aliases.
+   * `n_srcs` sums the per-(dst, anchor) DISTINCT-src counts — an upper
+   * bound on the destination's distinct in-degree that over-counts any
+   * src linking the same dst under two different anchors (exact per
+   * anchor, approximate per dst; use `hostGraph`'s n_src_pages for exact
+   * in-degree). Empty anchors are excluded. The rank-1 anchor is the
+   * destination's canonical surface form; lower ranks are its mined
+   * aliases.
    */
   def anchorStats(links: DataFrame, k: Int = 5): DataFrame = {
     val counted = links
