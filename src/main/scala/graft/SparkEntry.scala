@@ -679,6 +679,16 @@ object SparkEntry {
       graft.link.GraphOps.bfsDepth(s, edges, seeds, maxDepth = 4)
         .orderBy(col("node"))
     }),
+    // LSH-candidate near-dup with exact verification: q19's star edges
+    // scored with exact 3-gram Jaccard (no df cap, no all-pairs) —
+    // the shape that retires ngramJaccard's within-shingle pair join
+    "q78_jaccard_star" -> q((s, d) => {
+      import s.implicits._
+      graft.dedup.NearDup.ngramJaccardStar(s, t(s, d, "documents"),
+        n = 3, threshold = 0.2)
+        .select($"d1", $"d2", round($"jaccard", 5).as("jaccard"))
+        .orderBy($"d1", $"d2")
+    }),
     // BPE round-1 statistics: weighted adjacent character-pair counts
     // over the word-frequency table (the aggregation every merge round
     // of Bpe.trainMerges runs; the full iterative trainer is spec-gated
@@ -1165,6 +1175,47 @@ object SparkEntry {
                UNION
                SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1)
          SELECT DISTINCT d1, d2 FROM e ORDER BY d1, d2""",
+    // q78: q19's star-edge candidates, each verified with exact 3-gram
+    // Jaccard over the per-doc DISTINCT shingle sets (no df cap — the
+    // verification is per candidate pair, so no quadratic guard needed)
+    "q78_jaccard_star" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         hm AS (SELECT doc_id, md5('0'||word) AS m0, md5('1'||word) AS m1,
+                       md5('2'||word) AS m2, md5('3'||word) AS m3 FROM w),
+         m AS (SELECT doc_id,
+           min(substr(m0, 1, 16)) AS h0, min(substr(m0, 17, 16)) AS h1,
+           min(substr(m1, 1, 16)) AS h2, min(substr(m1, 17, 16)) AS h3,
+           min(substr(m2, 1, 16)) AS h4, min(substr(m2, 17, 16)) AS h5,
+           min(substr(m3, 1, 16)) AS h6, min(substr(m3, 17, 16)) AS h7
+           FROM hm GROUP BY 1),
+         b AS (SELECT doc_id, md5(h0||h1||h2||h3) AS b1, md5(h4||h5||h6||h7) AS b2 FROM m),
+         r1 AS (SELECT b1 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         r2 AS (SELECT b2 AS bucket, min(doc_id) AS d1 FROM b GROUP BY 1),
+         e AS (SELECT r1.d1, b.doc_id AS d2 FROM b JOIN r1 ON b.b1 = r1.bucket WHERE b.doc_id > r1.d1
+               UNION
+               SELECT r2.d1, b.doc_id AS d2 FROM b JOIN r2 ON b.b2 = r2.bucket WHERE b.doc_id > r2.d1),
+         cand AS (SELECT DISTINCT d1, d2 FROM e),
+         ws AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+         sh0 AS (SELECT doc_id,
+                   unnest(list_transform(range(greatest(len(wl) - 3, 0) + 1),
+                     i -> array_to_string(wl[i + 1 : i + 3], ' '))) AS shingle
+                 FROM ws),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT c.d1, c.d2, count(*) AS i
+                   FROM cand c JOIN sh a ON a.doc_id = c.d1
+                               JOIN sh bb ON bb.doc_id = c.d2
+                                AND bb.shingle = a.shingle
+                   GROUP BY 1, 2),
+         j AS (SELECT c.d1, c.d2,
+                 CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jacc
+               FROM cand c
+               LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+               JOIN sz sa ON c.d1 = sa.doc_id
+               JOIN sz sb ON c.d2 = sb.doc_id)
+         SELECT d1, d2, round(jacc, 5) AS jaccard FROM j
+         WHERE jacc >= 0.2 ORDER BY d1, d2""",
     // q38: q19's star edges, closed into components by a recursive CTE
     // (UNION dedups, so the closure terminates at the reachable-pair
     // fixpoint), cluster label = min reachable doc_id (identical to

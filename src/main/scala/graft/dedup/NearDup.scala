@@ -17,9 +17,14 @@ object NearDup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Word n-gram (shingle) Jaccard pairs >= threshold. Shingles above
+  /** Word n-gram (shingle) Jaccard pairs >= threshold — EXHAUSTIVE over
+   *  pairs sharing any surviving shingle. Shingles above
    *  maxShingleDocFreq are dropped (stop-shingle removal — the standard
-   *  guard against quadratic blowup on ubiquitous shingles). */
+   *  guard against quadratic blowup on ubiquitous shingles), which
+   *  bounds the within-shingle pair join at cap² rows per hot shingle;
+   *  bounded, but still the one quadratic-per-key shape in this file —
+   *  at corpus scale prefer [[ngramJaccardStar]], whose candidates are
+   *  linear per bucket at LSH-band recall. */
   def ngramJaccard(spark: SparkSession, docs: DataFrame, n: Int = 3,
                    threshold: Double = 0.8,
                    maxShingleDocFreq: Long = 1000): DataFrame = {
@@ -42,6 +47,54 @@ object NearDup {
         ($"i".cast("double") / ($"sa.sz" + $"sb.sz" - $"i")).as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
+
+  /** Exact word n-gram Jaccard computed ONLY for a given candidate-pair
+   *  table (columns d1, d2) — the verification half of a
+   *  candidates-then-verify dedup. Never all-pairs: shingle sets are
+   *  deduped INSIDE the row (array_distinct before the explode — no
+   *  distinct shuffle) and hashed to fixed-width md5 before leaving the
+   *  scan; the intersection is two keyed joins (pairs × shingles(d1),
+   *  then a semi-join against shingles(d2) on (d2, hash)); per-doc set
+   *  size comes from the same in-row array, no extra shuffle. Pairs with
+   *  empty intersection come back with jaccard = 0, so the output has
+   *  one row per input pair. */
+  def jaccardForPairs(spark: SparkSession, docs: DataFrame,
+                      pairs: DataFrame, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = docs.select($"doc_id",
+      array_distinct(transform(shingleCol("text", n), s => md5(s)))
+        .as("_hs"))
+    val sz = hashed.select($"doc_id", size($"_hs").cast("long").as("_sz"))
+    val sh = hashed.select($"doc_id", explode($"_hs").as("_h"))
+    val inter = pairs.select($"d1", $"d2")
+      .join(sh.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(sh.withColumnRenamed("doc_id", "d2"), Seq("d2", "_h"),
+        "left_semi")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("_i"))
+    pairs.select($"d1", $"d2")
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sz.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("_sz", "_sza"), Seq("d1"))
+      .join(sz.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("_sz", "_szb"), Seq("d2"))
+      .select($"d1", $"d2",
+        (coalesce($"_i", lit(0L)).cast("double") /
+          ($"_sza" + $"_szb" - coalesce($"_i", lit(0L)))).as("jaccard"))
+  }
+
+  /** The scale shape that retires [[ngramJaccard]]'s within-shingle pair
+   *  join: candidate pairs from [[minhashStarEdges]] (LINEAR per bucket,
+   *  the shape that eliminated the quadratic hazard for q19), each
+   *  verified with EXACT n-gram Jaccard via [[jaccardForPairs]], kept at
+   *  >= threshold. On every pair LSH surfaces the value equals
+   *  ngramJaccard's exactly (spec-pinned); recall is the LSH band
+   *  recall — a pair sharing no band is never scored. That is the
+   *  standard 100-TB trade: exact verification over approximate keyed
+   *  candidate generation, nothing quadratic anywhere. */
+  def ngramJaccardStar(spark: SparkSession, docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.8): DataFrame =
+    jaccardForPairs(spark, docs, minhashStarEdges(spark, docs), n)
+      .filter(col("jaccard") >= threshold)
 
   /** Duplicated-span statistics — the substring-level dedup signal of
    *  Lee et al. 2021 ("Deduplicating Training Data Makes Language Models

@@ -213,14 +213,24 @@ object Linker {
   /** name -> canonical name, exact transitive fixpoint via union-find over
    *  the collected alias pairs; representative per component = maximal
    *  surface form (order-independent, so deterministic under any
-   *  partitioning of the collect). Driver-side path — canonicalize only
-   *  calls this when the pair count is broadcast-safe. */
+   *  partitioning of the collect). Driver-side path, guarded by the SAME
+   *  [[MaxDriverAliasPairs]] gate as canonicalize (count before collect):
+   *  above the gate this helper refuses rather than OOM the driver —
+   *  use [[canonicalize]], whose distributed path has no such ceiling. */
   def buildAliasMap(spark: SparkSession, fills: Dataset[SlotFill])
       : Map[String, String] = {
-    val pairs = aliasPairs(spark, fills).collect()
-    lastAliasCount = 0L
-    if (pairs.isEmpty) return Map.empty
-    driverAliasMap(pairs)
+    val pairsDs = aliasPairs(spark, fills).persist()
+    try {
+      val nPairs = pairsDs.count()
+      require(nPairs <= MaxDriverAliasPairs,
+        s"buildAliasMap is the driver-side path: $nPairs alias pairs " +
+          s"exceed MaxDriverAliasPairs=$MaxDriverAliasPairs; use " +
+          "canonicalize, which switches to distributed connected " +
+          "components above the gate")
+      lastAliasCount = 0L
+      if (nPairs == 0L) Map.empty
+      else driverAliasMap(pairsDs.collect())
+    } finally pairsDs.unpersist()
   }
 
   /** Probe-only accessor for tools measuring the serial driver segment. */

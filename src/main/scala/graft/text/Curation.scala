@@ -155,16 +155,35 @@ object Curation {
    *  PARTITION BY is a single-task scan of the corpus. Instead the
    *  prefix sum is distributed: block = doc_id / blockSize; per-block
    *  running sums partition by block (bounded tasks), block TOTALS form a
-   *  tiny table (corpus/blockSize rows) whose cumulative offsets are the
-   *  only unpartitioned window — over rows numbering ~10^6 at 10^12 docs
-   *  — then offset + within-block prefix is joined back broadcast-style.
-   *  Returns (doc_id, n_tokens, shard). */
+   *  tiny table whose cumulative offsets are the only unpartitioned
+   *  window, then offset + within-block prefix is joined back. The shard
+   *  assignment is the exact global prefix sum regardless of the block
+   *  decomposition, so blockSize is purely a plan knob: by default
+   *  (`blockSize = 0` = auto) it is derived from the corpus id range to
+   *  keep the offset table ≤ [[TargetPackBlocks]] rows (~10^6 at 10^12
+   *  docs — the offset window AND the join build side stay bounded no
+   *  matter the corpus size; a fixed blockSize=1000 at 10^12 docs would
+   *  have made offsets a 10^9-row "tiny" table). The broadcast hint on
+   *  the join-back is applied only on the auto path, where the offset
+   *  table is provably ≤ TargetPackBlocks rows; with a caller-chosen
+   *  blockSize its size is unknown, so AQE picks the join strategy from
+   *  runtime stats. Returns (doc_id, n_tokens, shard). */
   def packShards(spark: SparkSession, docs: DataFrame, budget: Long,
-                 blockSize: Long = 1000L): DataFrame = {
+                 blockSize: Long = 0L): DataFrame = {
     import spark.implicits._
+    val blk =
+      if (blockSize > 0L) blockSize
+      else {
+        // one column-pruned max() over the id column sizes the blocks;
+        // ids are assumed ~dense from 0 (this operator's doc_id-order
+        // contract), so (maxId+1)/TargetPackBlocks caps the block count
+        val maxId = docs.agg(max($"doc_id").cast("long")).as[Option[Long]]
+          .head().getOrElse(0L)
+        math.max(1000L, (maxId + 1 + TargetPackBlocks - 1) / TargetPackBlocks)
+      }
     val toks = docs.select($"doc_id",
       regexp_count($"text", lit("\\S+")).cast("long").as("n_tokens"),
-      ($"doc_id" / blockSize).cast("long").as("_blk"))
+      ($"doc_id" / blk).cast("long").as("_blk"))
     val inBlk = toks.withColumn("_pre",
       sum($"n_tokens").over(Window.partitionBy($"_blk").orderBy($"doc_id"))
         - $"n_tokens")
@@ -175,11 +194,22 @@ object Curation {
           Window.orderBy($"_blk").rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
       .select($"_blk", $"_off")
-    inBlk.join(broadcast(offsets), Seq("_blk"))
+    // auto-sized blocks are ≤ TargetPackBlocks by construction → the
+    // hint is safe; with a caller-chosen blockSize the block count is
+    // unknown without a job, so leave the strategy to AQE's size stats
+    val offSide = if (blockSize <= 0L) broadcast(offsets) else offsets
+    inBlk.join(offSide, Seq("_blk"))
       .select($"doc_id", $"n_tokens",
         (($"_pre" + $"_off") / budget).cast("long").as("shard"))
       .orderBy($"doc_id")
   }
+
+  /** Auto-sizing target for [[packShards]]' block-offset table: blocks
+   *  ≈ min(idRange, 10^6) keeps the only unpartitioned window AND the
+   *  broadcast join-back side ≤ ~16 MB (16 B/row) at ANY corpus size;
+   *  at 10^12 docs each block then spans 10^6 ids — a bounded per-task
+   *  window sort. */
+  val TargetPackBlocks = 1000000L
 
   // --- PII detection / redaction -------------------------------------
   // Patterns stay in the Java-regex ∩ RE2 common subset (char classes,

@@ -162,6 +162,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("shard packing: auto block sizing; hint only when provably small") {
+    // sparse ids spanning 5·10^9: under the old fixed blockSize=1000
+    // default this id range means a 5·10^6-row offset table that was
+    // unconditionally broadcast-hinted; the auto path derives a block
+    // size capping blocks at TargetPackBlocks
+    val ids = Seq(0L, 3L, 999L, 1000000L, 2500000000L, 4999999999L)
+    val wide = ids.map(i => (i, "a b c")).toDF("doc_id", "text")
+    val auto = Curation.packShards(spark, wide, budget = 5L)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    var run = 0L
+    val want = ids.map { i => val s = run / 5L; run += 3L; (i, s) }
+    assert(got == want)
+    // auto path: offset side is provably ≤ TargetPackBlocks → hinted
+    assert(auto.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // caller-chosen blockSize: size unknowable without a job → no hint,
+    // AQE decides from runtime stats (old code hinted unconditionally)
+    val explicit = Curation.packShards(spark, wide, budget = 5L,
+      blockSize = 1000L)
+    assert(!explicit.queryExecution.analyzed.toString
+      .contains("ResolvedHint"))
+    assert(explicit.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      == want)
+  }
+
   test("pii: counts over original text, typed sequential redaction") {
     val d = Seq(
       (0L, "mail a.b+c@ex.co or x@y.io, call 800-555-1234, from 10.0.0.1"),

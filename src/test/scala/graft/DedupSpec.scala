@@ -99,6 +99,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccard star: exact values on LSH candidates, zero for disjoint") {
+    // every LSH-surfaced pair must carry EXACTLY the jaccard the
+    // exhaustive pair join computes (cap disabled so both are uncapped)
+    val exact = NearDup.ngramJaccard(spark, docs, n = 3, threshold = 0.0,
+        maxShingleDocFreq = Long.MaxValue).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val star = NearDup.ngramJaccardStar(spark, docs, n = 3,
+        threshold = 0.0).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Double]("jaccard")).toMap
+    star.foreach { case (p, j) =>
+      assert(j == exact.getOrElse(p, 0.0),
+        s"pair $p: star=$j exhaustive=${exact.get(p)}")
+    }
+    // the exact dup is always in the same minhash buckets -> surfaced
+    assert(star.get((1L, 4L)).contains(1.0))
+    // candidate pairs sharing no shingle come back as 0, not dropped:
+    // jaccardForPairs keeps one row per input pair
+    val forced = Seq((1L, 3L)).toDF("d1", "d2")
+    val v = NearDup.jaccardForPairs(spark, docs, forced, n = 3).collect()
+    assert(v.length == 1 && v.head.getAs[Double]("jaccard") == 0.0)
+  }
+
   test("simhash near-dup pairs within small hamming distance") {
     val pairs = SimHash.nearDupPairs(docs, maxDist = 12).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet

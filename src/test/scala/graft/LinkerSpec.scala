@@ -43,6 +43,23 @@ class LinkerSpec extends AnyFunSuite {
       s"hot block mis-linked: $alias")
   }
 
+  test("buildAliasMap refuses above the MaxDriverAliasPairs gate") {
+    import spark.implicits._
+    val fills = Seq(fill("John Smith"), fill("John R. Smith")).toDS()
+    val saved = Linker.MaxDriverAliasPairs
+    try {
+      Linker.MaxDriverAliasPairs = 0L // any pair is now "oversized"
+      val e = intercept[IllegalArgumentException] {
+        Linker.buildAliasMap(spark, fills)
+      }
+      assert(e.getMessage.contains("canonicalize"),
+        s"refusal should redirect to canonicalize: ${e.getMessage}")
+    } finally Linker.MaxDriverAliasPairs = saved
+    // under the gate the same input still resolves on the driver path
+    assert(Linker.buildAliasMap(spark, fills) ==
+      Map("John Smith" -> "John R. Smith"))
+  }
+
   test("distributed CC path canonicalizes identically to driver union-find") {
     // force the connected-components + shuffle-join path by dropping the
     // broadcast-safe threshold to zero, and check the rewrite matches the
