@@ -971,8 +971,154 @@ object SparkEntry {
       graft.pipeline.KGPipeline.sentences(s, s.createDataset(pages)).toDF()
         .select($"url", $"doc_id", $"sent_idx", $"text")
         .orderBy($"url", $"sent_idx")
+    }),
+    // q79: the KG pipeline's relational TAIL pinned by a real oracle,
+    // independently of the (non-SQL-expressible) NLP front: the
+    // post-linking post-symmetric fills — consistentTriples' exact
+    // input — are DUMPED to a fixed parquet path mid-query, the tail
+    // (X13-X18 consistency + official rename + noisy-or edge merge +
+    // entity ids) recomputes from the RE-READ dump, and the DuckDB
+    // oracle restates the same tail over the same dump. This shrinks
+    // the pipeline's no-oracle surface to sentences/mentionFills only.
+    "q79_kg_tail" -> q((s, _) => {
+      import s.implicits._
+      val (pages, _) = graft.fixtures.PageGen.corpus(120)
+      val pipelineFills = graft.pipeline.KGPipeline.symmetricExpand(s,
+        graft.pipeline.KGPipeline.linked(s,
+          graft.pipeline.KGPipeline.yThenNoisyOrGate(s,
+            graft.pipeline.KGPipeline.aggregateBags(s,
+              graft.pipeline.KGPipeline.mentionFills(s,
+                graft.pipeline.KGPipeline.sentences(s,
+                  s.createDataset(pages)))))))
+      // the organic corpus exercises only the dedup/merge stages, so an
+      // adversarial planted set (Zz-prefixed subjects, disjoint from the
+      // corpus) drives every consistency check — including the
+      // SEQUENTIAL survivor semantics (a killed fill must not kill later
+      // fills) of X14 and the X12 geo pass
+      val fills = pipelineFills.unionByName(s.createDataset(kgTailPlants))
+      fills.toDF().select($"subj", $"subj_type", $"pred", $"obj",
+          $"obj_type", $"score",
+          $"prov.doc_id".as("prov_doc_id"), $"prov.url".as("prov_url"),
+          $"prov.sent_idx".as("prov_sent_idx"),
+          $"prov.ent_b".as("prov_ent_b"), $"prov.ent_e".as("prov_ent_e"),
+          $"prov.slot_b".as("prov_slot_b"),
+          $"prov.slot_e".as("prov_slot_e"))
+        .coalesce(1).write.mode("overwrite").parquet(KgTailDumpPath)
+      graft.link.Linker.release()
+      // the tail consumes the RE-READ dump, so Spark and the oracle see
+      // byte-identical input even across pipeline-front nondeterminism
+      val reread = s.read.parquet(KgTailDumpPath)
+        .select($"subj", $"subj_type", $"pred", $"obj", $"obj_type",
+          $"score",
+          struct($"prov_doc_id".as("doc_id"), $"prov_url".as("url"),
+            $"prov_sent_idx".as("sent_idx"), $"prov_ent_b".as("ent_b"),
+            $"prov_ent_e".as("ent_e"), $"prov_slot_b".as("slot_b"),
+            $"prov_slot_e".as("slot_e")).as("prov"))
+        .as[graft.model.SlotFill]
+      graft.pipeline.KGPipeline.consistentTriples(s, reread).toDF()
+        .orderBy($"subj", $"subj_type", $"pred", $"obj")
     })
   )
+
+  /** Fixed dump location shared by the q79 query (writer) and its oracle
+   *  (DuckDB reader) — both run on the driver host. */
+  private val KgTailDumpPath = "/tmp/graft_q79_tail_dump"
+
+  /** q79's adversarial consistency fixture: one planted subject per
+   *  check, each disjoint from the PageGen corpus (Zz prefix). The
+   *  "Chain"/"Acronym" subjects additionally pin the SEQUENTIAL
+   *  semantics of X14 and the geo pass: the .7-scored fill conflicts
+   *  ONLY with an already-killed predecessor, so an oracle that tested
+   *  against all higher-ranked fills (rather than surviving ones) would
+   *  wrongly drop it. */
+  private def kgTailPlants: Seq[graft.model.SlotFill] = {
+    import graft.model.{NER, Provenance, SlotFill}
+    var n = 0
+    def f(subj: String, st: String, pred: String, obj: String, ot: String,
+          score: Double): SlotFill = {
+      n += 1
+      SlotFill(subj, st, pred, obj, ot, score,
+        Provenance(f"doc-plant-$n%03d", s"https://plant.example/$n",
+          0, 0, 1, 2, 3))
+    }
+    import NER._
+    Seq(
+      // X13b: employee_of dies when the same obj exists under member_of
+      f("Zz Memberof Proof", PERSON, "per:member_of", "Zz Acme Corp",
+        ORGANIZATION, 0.9),
+      f("Zz Memberof Proof", PERSON, "per:employee_of", "Zz Acme Corp",
+        ORGANIZATION, 0.8),
+      // X14: acronym + containment kills, then the sequential
+      // distinguisher ("Zz Johnson Doe" conflicts only with the KILLED
+      // "Zz Johnson", so it survives)
+      f("Zz Acronym Proof", PERSON, "per:alternate_names",
+        "Zz Johnson Smith", PERSON, 0.9),
+      f("Zz Acronym Proof", PERSON, "per:alternate_names",
+        "Zz Johnson", PERSON, 0.8),
+      f("Zz Acronym Proof", PERSON, "per:alternate_names",
+        "Zz Johnson Doe", PERSON, 0.7),
+      f("Zz Acronym Proof", PERSON, "per:alternate_names", "ZJS",
+        PERSON, 0.6),
+      // X15: SINGLE-cardinality argmax
+      f("Zz Single Proof", PERSON, "per:date_of_birth", "1970-01-01",
+        DATE, 0.9),
+      f("Zz Single Proof", PERSON, "per:date_of_birth", "1971-02-02",
+        DATE, 0.8),
+      // X16: same obj under implausibly-co-occurring preds
+      f("Zz Clash Proof", PERSON, "per:siblings", "Zz Bob Roe",
+        PERSON, 0.9),
+      f("Zz Clash Proof", PERSON, "per:children", "Zz Bob Roe",
+        PERSON, 0.8),
+      // X18: sub-0.01 fill dies unless it is its pred's best
+      f("Zz Lowscore Proof", PERSON, "per:title", "engineer", TITLE, 0.5),
+      f("Zz Lowscore Proof", PERSON, "per:title", "janitor", TITLE, 0.005),
+      f("Zz Lowonly Proof", PERSON, "per:title", "oddball", TITLE, 0.005),
+      // X17: location-of-death requires a date_of_death
+      f("Zz Deathless Proof", PERSON, "per:city_of_death", "Boston",
+        CITY, 0.9),
+      f("Zz Deathful Proof", PERSON, "per:city_of_death", "Boston",
+        CITY, 0.9),
+      f("Zz Deathful Proof", PERSON, "per:date_of_death", "1999-01-01",
+        DATE, 0.8),
+      // X12 geo: Boston kills region Washington; Portland conflicts only
+      // with the killed region (sequential distinguisher); the country
+      // stays consistent with every kept fill
+      f("Zz Geo Proof", PERSON, "per:cities_of_residence", "Boston",
+        CITY, 0.9),
+      f("Zz Geo Proof", PERSON, "per:stateorprovinces_of_residence",
+        "Washington", STATE_OR_PROVINCE, 0.8),
+      f("Zz Geo Proof", PERSON, "per:cities_of_residence", "Portland",
+        CITY, 0.7),
+      f("Zz Geo Proof", PERSON, "per:countries_of_residence",
+        "United States", COUNTRY, 0.6),
+      // X12 geo: the Washington-city / Washington-region DC special case
+      f("Zz Dc Proof", PERSON, "per:cities_of_residence", "Washington",
+        CITY, 0.9),
+      f("Zz Dc Proof", PERSON, "per:stateorprovinces_of_residence",
+        "Washington", STATE_OR_PROVINCE, 0.8),
+      // X12 geo canonicalizers: city abbreviation (NYC), alternate
+      // country name (U.K.), country code (USA), region code (MA, WA)
+      f("Zz Abbrev Proof", PERSON, "per:cities_of_residence", "NYC",
+        CITY, 0.9),
+      f("Zz Abbrev Proof", PERSON, "per:stateorprovinces_of_residence",
+        "California", STATE_OR_PROVINCE, 0.8),
+      f("Zz Altc Proof", PERSON, "per:cities_of_residence", "London",
+        CITY, 0.9),
+      f("Zz Altc Proof", PERSON, "per:countries_of_residence", "U.K.",
+        COUNTRY, 0.8),
+      f("Zz Altc2 Proof", PERSON, "per:cities_of_residence", "London",
+        CITY, 0.9),
+      f("Zz Altc2 Proof", PERSON, "per:countries_of_residence", "USA",
+        COUNTRY, 0.8),
+      f("Zz Regcode Proof", PERSON, "per:cities_of_residence", "Boston",
+        CITY, 0.9),
+      f("Zz Regcode Proof", PERSON, "per:stateorprovinces_of_residence",
+        "MA", STATE_OR_PROVINCE, 0.8),
+      f("Zz Regcode2 Proof", PERSON, "per:cities_of_residence", "Boston",
+        CITY, 0.9),
+      f("Zz Regcode2 Proof", PERSON, "per:stateorprovinces_of_residence",
+        "WA", STATE_OR_PROVINCE, 0.8))
+  }
 
   /** DuckDB mirrors. Every aggregate/computed column is aliased identically
    *  on both sides; money sums are integer cents; FP-accumulation results
@@ -1801,6 +1947,9 @@ object SparkEntry {
          ORDER BY n_refs DESC, dst_url ASC LIMIT 20"""),
     // q77: min-depth BFS restated as a depth-bounded recursive CTE +
     // min() rollup (path multiplicity collapses in the GROUP BY)
+    // q79: generated restatement of the KG pipeline's relational tail
+    // over the fills parquet the query dumps — see KgTailOracle
+    "q79_kg_tail" -> KgTailOracle.sql(KgTailDumpPath),
     "q77_crawl_depth" ->
       """WITH RECURSIVE e AS (SELECT doc_id AS src, doc_id + 1 AS dst
              FROM documents

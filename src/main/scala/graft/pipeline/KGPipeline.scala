@@ -97,6 +97,26 @@ object KGPipeline {
         .flatMap(Consistency.unaryOne)))
   }
 
+  /** MIML-RE twin of [[mentionFills]] (C2 as a first-class pipeline
+   *  classifier, not just a spec exhibit): candidates flow into
+   *  `MimlEm.classifyBags` — per-sentence z inference + bag-level y
+   *  probability with the FROZEN fold-EM model — and its bag-level fills
+   *  then take the same row-local unary pass. Scores are already
+   *  bag-merged and y-thresholded inside classifyBags, so the pipeline
+   *  must NOT re-apply the LR path's `yThenNoisyOrGate` (LR thresholds
+   *  belong to the LR model); `run(classifier = "miml")` wires that.
+   *  One groupByKey shuffle on the bag key — same count as the LR
+   *  path's bag aggregation. */
+  def mentionFillsMiml(spark: SparkSession,
+                       sents: Dataset[Sentence]): Dataset[SlotFill] = {
+    import spark.implicits._
+    val model = graft.classify.MimlEm.frozen.getOrElse(throw new IllegalStateException(
+      "no frozen MIML model on the classpath (graft/miml_z_weights.tsv)"))
+    val cands = sents.mapPartitions(_.flatMap(Candidates.fromSentence))
+    graft.classify.MimlEm.classifyBags(spark, cands, model)
+      .flatMap(Consistency.unaryOne)
+  }
+
   /** Stage 5: bag aggregation — merge per-mention scores for the same
    *  (KBPair, relation) via noisy-or (common/Utils.java:287-291,
    *  JointBayesRelationExtractor.java:2037-2051), keeping the
@@ -536,11 +556,20 @@ object KGPipeline {
 
   /** Full run; with a TableIO each stage checkpoints (with per-partition
    *  lineage columns) and the job resumes from the latest committed
-   *  snapshot; per-stage metrics land in a `metrics` table. */
+   *  snapshot; per-stage metrics land in a `metrics` table.
+   *  `classifier` selects the scoring path: "lr" (default — one-vs-all
+   *  LR per mention + noisy-or bag merge + y gate, the reference's
+   *  default output mode) or "miml" (frozen fold-EM MIML-RE bag
+   *  inference via [[mentionFillsMiml]]; bag scores arrive merged and
+   *  thresholded, so the LR y gate is skipped and the bag aggregation
+   *  is an identity merge). */
   def run(spark: SparkSession, pages: Dataset[Page],
           io: Option[TableIO] = None,
           runId: String = "run-0",
-          dedup: Boolean = false): Dataset[Triple] = {
+          dedup: Boolean = false,
+          classifier: String = "lr"): Dataset[Triple] = {
+    require(classifier == "lr" || classifier == "miml",
+      s"unknown classifier '$classifier' (expected lr | miml)")
     import spark.implicits._
     // refuse to resume snapshots written by an incompatible pipeline layout
     io.foreach(_.ensureVersion(PipelineVersion))
@@ -579,14 +608,21 @@ object KGPipeline {
         kept
       }
     val sents = ckpt("sentences", sentences(spark, input))
-    // mentionFills includes the fused row-local unary pass (X1-X12)
-    val raw = ckpt("fills_raw", mentionFills(spark, sents))
-    // bag agg runs in the reference's default output mode: noisy-or merge,
-    // then the per-relation y-threshold gate (y_then_noisy_or)
+    // both classifier paths include the fused row-local unary pass (X1-X12)
+    val raw = ckpt("fills_raw",
+      if (classifier == "miml") mentionFillsMiml(spark, sents)
+      else mentionFills(spark, sents))
+    // LR runs the reference's default output mode (noisy-or merge + the
+    // per-relation y gate); MIML fills are already bag-level and
+    // thresholded, so only the (identity) merge runs — it also collapses
+    // any exact duplicates a resumed/unioned fills_raw snapshot may hold
     val bags = ckpt("fills_merged",
-      yThenNoisyOrGate(spark, aggregateBags(spark, raw)))
+      if (classifier == "miml") aggregateBags(spark, raw)
+      else yThenNoisyOrGate(spark, aggregateBags(spark, raw)))
     if (io.isDefined)
-      metrics += ((runId, "bag_mode_y_then_noisy_or", 1L, 0L))
+      metrics += ((runId,
+        if (classifier == "miml") "bag_mode_miml" else "bag_mode_y_then_noisy_or",
+        1L, 0L))
     // linking + symmetric expansion land together in fills_linked; the
     // global X13-X18 pass runs on CANONICAL subjects (reference order:
     // merge -> symmetric -> pass 2)

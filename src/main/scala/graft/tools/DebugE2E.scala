@@ -9,6 +9,7 @@ import graft.pipeline.KGPipeline
 object DebugE2E {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 60
+    val classifier = if (args.length > 1) args(1) else "lr"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,14 +20,15 @@ object DebugE2E {
 
     val (pages, gold) = PageGen.corpus(n)
     val pagesDs = spark.createDataset(pages)
-    val triples = KGPipeline.run(spark, pagesDs).collect()
+    val triples =
+      KGPipeline.run(spark, pagesDs, classifier = classifier).collect()
     val got = triples.map(t => (t.subj, t.pred, t.obj)).toSet
     val want = gold.map(g => (g.subj, g.pred, g.obj))
 
     val tp = got.intersect(want).size
     val precision = if (got.nonEmpty) tp.toDouble / got.size else 0.0
     val recall = if (want.nonEmpty) tp.toDouble / want.size else 0.0
-    println(f"n=$n got=${got.size} want=${want.size} tp=$tp P=$precision%.4f R=$recall%.4f")
+    println(f"n=$n classifier=$classifier got=${got.size} want=${want.size} tp=$tp P=$precision%.4f R=$recall%.4f")
 
     val fp = (got -- want).toSeq.sortBy(_.toString)
     val fn = (want -- got).toSeq.sortBy(_.toString)

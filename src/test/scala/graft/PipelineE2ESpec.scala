@@ -27,6 +27,26 @@ class PipelineE2ESpec extends AnyFunSuite {
         s"FP=${(triples -- want).take(5)} FN=${(want -- triples).take(5)}")
   }
 
+  test("MIML pipeline mode: planted-gold P/R floors under classifyBags") {
+    // run(classifier = "miml") routes the frozen fold-EM model through
+    // the whole pipeline (candidates -> z/y bag inference -> unary ->
+    // linking -> consistency). The frozen model's real e2e quality is
+    // below the LR path's 1.0 (it lacks y weights for some relations,
+    // e.g. org:number_of_employees/members) — floors pin what it
+    // actually achieves, measured P=0.99/R=0.95 at n=60 and n=150.
+    val got = KGPipeline.run(spark, pagesDs, classifier = "miml")
+      .collect().map(t => (t.subj, t.pred, t.obj)).toSet
+    val want = gold.map(g => (g.subj, g.pred, g.obj))
+    val tp = got.intersect(want).size
+    val p = tp.toDouble / got.size
+    val r = tp.toDouble / want.size
+    assert(p >= 0.97 && r >= 0.93,
+      s"MIML e2e P=$p R=$r; FP=${(got -- want).take(5)} " +
+        s"FN=${(want -- got).take(5)}")
+    // the two modes must agree on the overwhelming bulk of the graph
+    assert(got.intersect(triples).size.toDouble / triples.size >= 0.93)
+  }
+
   test("row invariant: extracted text byte-identical per url") {
     // distributed check, exactly as the pipeline consumes pages
     val bad = pagesDs.map(p =>
