@@ -138,13 +138,30 @@ object Bench {
     val (nTriples, kgSec) = kgRun(spark, kgPages)
     val kgThr = kgPages / kgSec
 
+    // Gibbs consistency variant at its MaxGibbsFills boundary: one hot
+    // entity AT the cap pays the reference-shaped quadratic sampler
+    // (mixingTime+1 enables x n^2 pairConsistent), one just past it MUST
+    // fall back to the linear greedy pass — sec_over << sec_at_cap
+    // despite more fills is the fallback engaging, measured not claimed.
+    def gibbsFills(n: Int): Seq[graft.model.SlotFill] = (0 until n).map { i =>
+      graft.model.SlotFill("Hot Entity", graft.model.NER.PERSON,
+        "per:children", s"Child $i", graft.model.NER.PERSON, 0.9,
+        graft.model.Provenance(s"d$i", s"https://x.example/$i", 0, 0, 1, 2, 3))
+    }
+    val cap = graft.consistency.Consistency.MaxGibbsFills
+    val (_, gibbsAtCap) =
+      time { graft.consistency.Consistency.entityPassGibbs(gibbsFills(cap)) }
+    val (_, gibbsOverCap) =
+      time { graft.consistency.Consistency.entityPassGibbs(gibbsFills(cap + 64)) }
+
     val qs = (qTimes :+ ("kg_pipeline" -> kgSec))
       .map { case (k, v) => "\"" + k + "\":" + fd(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + kgSec
     val baseJson =
       s"""{"metric":"total","value":${fd(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${fd(kgThr, 1)},"triples_per_sec":${fd(nTriples / kgSec, 1)}}"""
+      s""""kg":{"pages":$kgPages,"triples":$nTriples,"pages_per_sec":${fd(kgThr, 1)},"triples_per_sec":${fd(nTriples / kgSec, 1)}},""" +
+      s""""gibbs":{"cap":$cap,"sec_at_cap":${fd(gibbsAtCap, 3)},"sec_over_cap":${fd(gibbsOverCap, 3)}}"""
     // evidence checkpoint #1: headline+kg survives even if the scaling
     // loop below is killed by the driver's timeout
     println(baseJson + "}")
@@ -177,7 +194,15 @@ object Bench {
     // plausible band); maxRounds only caps pathology
     val targetClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_CLEAN", "4").toInt
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "10").toInt
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "1500").toDouble
+    // 1900 s (was 1500): the r4 driver run exhausted 1500 s at 6 rounds
+    // with only 3 calibration-clean — the ~200 s/round cost needs 7-8
+    // sampled rounds for 4 clean under observed host-throttle rates.
+    // Ceiling check: r1/r3 driver artifacts completed rc=0 at 2590/2392 s
+    // sbt wall, so a ~2200 s total (1900 budget + ~300 s fixed overhead)
+    // stays inside the driver's proven tolerance; and every round still
+    // checkpoints a complete JSON line, so even a kill preserves the
+    // best-so-far evidence.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "1900").toDouble
     spark.stop()
     calibMops(2) // JIT warm
     var warmedN = Set.empty[Int]

@@ -319,6 +319,37 @@ object NearDup {
       .orderBy($"cos".desc, $"vec_id").limit(k)
   }
 
+  /** Persist an IVF index in its production disk form: the assigned
+   *  table written PARTITIONED BY list_id (so `ivfProbe`'s
+   *  `list_id IN (probed)` filter becomes partition pruning at the scan
+   *  — only nProbe/nLists of the corpus is ever read per query), plus
+   *  the tiny centroid table beside it. This is the fit-once shape:
+   *  writing costs one shuffle-free scan of the assigned table; every
+   *  probe after it reads just its probed directories. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/assigned")
+    val centers = index.centers.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq)
+    }.toSeq
+    index.assigned.sparkSession.createDataFrame(centers)
+      .toDF("list_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Re-open a persisted IVF index. The returned `assigned` frame is the
+   *  list_id-partitioned parquet table, so probes over it are
+   *  partition-pruned by Spark's file source (spec-pinned via the
+   *  physical plan's selected-partition count). */
+  def ivfRead(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centers")
+      .select($"list_id", $"center").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), centers)
+  }
+
   /** Convenience fit+probe (the per-call-fit demo shape; real deployments
    *  hold the IvfIndex and call ivfProbe per query). */
   def ivfTopK(spark: SparkSession, emb: DataFrame, query: Array[Float],

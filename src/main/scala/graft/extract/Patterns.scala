@@ -126,7 +126,11 @@ object Patterns {
     r("org:founded_by", 1, 12, "founded by", "cofounded by", "co-founded by",
       "established by", "created by", "started by") ++
     r("org:founded_by", -1, 6, "founder of", "cofounder of", "co-founder of") ++
+    // active voice: "P founded O" / "P, who founded O" (slot-first)
+    r("org:founded_by", -1, 4, "founded", "cofounded", "co-founded") ++
     r("org:founded", 1, 20, "founded", "established", "formed", "created") ++
+    // year-first founding: "In 1946, P founded O" (slot date precedes)
+    r("org:founded", -1, 6, "founded", "established", "formed") ++
     r("org:dissolved", 1, 15, "dissolved", "shut down", "disbanded", "closed") ++
     rt("org:city_of_headquarters", 1, 12, NER.CITY, "headquartered in",
       "based in", "headquarters in") ++

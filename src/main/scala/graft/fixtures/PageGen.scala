@@ -115,7 +115,18 @@ object PageGen {
   private def age(k: Int) = 25 + (math.abs(k) % 60)
   private def birthCity(k: Int) = city(k)
   private def birthDateK(k: Int) = k // timex(k)
-  private def resCity(k: Int) = city(k + 7)
+  /** Residence city: the first city at ≥ k+7 whose COUNTRY differs from
+   *  birthCity(k)'s. Keeps distant-supervision labels clean by
+   *  construction — when birth and residence countries coincide, the
+   *  (person, country) KB pair sits under BOTH country_of_birth and
+   *  countries_of_residence, so "born in" training contexts get labeled
+   *  residence and the residence classifier learns to fire on birth
+   *  sentences (the precision-loss class the hand-authored eval's
+   *  retrain exposed). */
+  private def resCity(k: Int) = {
+    val bc = countryOf(city(k))
+    Iterator.from(7).map(d => city(k + d)).find(c => countryOf(c) != bc).get
+  }
   private def deathCity(k: Int) = city(k + 11)
   private def deathDateK(k: Int) = k + 1
   private def causeOf(k: Int) = causeList(math.abs(k) % causeList.size)
@@ -257,7 +268,46 @@ object PageGen {
       // 31: X11 BornInRewrite fires e2e — "raised in" proposes
       // city_of_birth, the residence keyword rewrites it
       (s"$p3 was raised in ${resCity(i + 2)}.",
-        Seq(Gold(p3, off("per:cities_of_residence"), resCity(i + 2))))
+        Seq(Gold(p3, off("per:cities_of_residence"), resCity(i + 2)))),
+      // 32-38: structure-generalization forms the hand-authored eval set
+      // (HandEval) exposed as gaps — participial openings, appositions,
+      // reversed subordinate clauses, active-voice founding, age-first.
+      // Phrasings stay DISJOINT from heldOutTemplates (that gate must
+      // keep measuring unseen language). Facts reuse the same
+      // entity-indexed fact functions, so cross-template consistency
+      // holds unchanged.
+      // 32: participial opening — slot precedes the entity
+      (s"Born in ${birthCity(i + 1)}, $p2 later took up painting.",
+        Seq(Gold(p2, off("per:city_of_birth"), birthCity(i + 1)))),
+      // 33: age-first clause
+      (s"At ${age(i + 2)}, $p3 remains a working ${titleOf(i + 2)}.",
+        Seq(Gold(p3, "per:age", age(i + 2).toString),
+          Gold(p3, "per:title", titleOf(i + 2)))),
+      // 34: headquarters as an apposition
+      (s"$o2, headquartered in ${hqCity(i + 1)}, reported earnings.",
+        Seq(Gold(o2, off("org:city_of_headquarters"), hqCity(i + 1)))),
+      // 35: title-before-name apposition + "works for"
+      (s"The ${titleOf(i)} $p works for ${org(i + 5)}.",
+        Seq(Gold(p, "per:title", titleOf(i)),
+          Gold(p, off("per:employee_of"), org(i + 5)))),
+      // 36: residence in the past perfect (was: a death-date + residence
+      // combined sentence — dropped after measurement: distant
+      // supervision could not stop the death-place/date classifiers
+      // firing on the residence clause's city and "since YEAR", costing
+      // main-corpus precision; the cross-clause distinction stays an
+      // honest HandEval gap instead)
+      (s"$p2 had lived in ${resCity(i + 1)} for two decades.",
+        Seq(Gold(p2, off("per:cities_of_residence"), resCity(i + 1)))),
+      // 37: active-voice founding, year first
+      (s"In ${foundedYear(i)}, $p founded $o.",
+        Seq(Gold(o, "org:founded_by", p),
+          Gold(o, off("org:founded"), s"${foundedYear(i)}-XX-XX"))),
+      // 38: reversed "where ... is headquartered" subordinate clause
+      (s"$o3 employs ${employees(i + 2)} people in ${hqCity(i + 2)}, " +
+        s"where $o3 is headquartered.",
+        Seq(Gold(o3, off("org:number_of_employees/members"),
+          employees(i + 2).toString),
+          Gold(o3, off("org:city_of_headquarters"), hqCity(i + 2))))
     )
   }
 

@@ -157,7 +157,12 @@ object Gazetteers {
     "Bank", "Airlines", "Motors", "Systems", "Technologies", "Labs",
     "Laboratories", "Industries", "Partners", "Capital", "Media",
     "Times", "Post", "Herald", "Tribune", "Journal", "Council",
-    "Committee", "Ministry", "Agency", "Authority", "Commission")
+    "Committee", "Ministry", "Agency", "Authority", "Commission",
+    // international legal suffixes — a real web crawl is full of them;
+    // the hand-authored eval set (HandEval) first exposed the gap
+    "AG", "GmbH", "NV", "N.V.", "BV", "B.V.", "SpA", "S.p.A.", "SA",
+    "S.A.", "SAS", "SE", "Oy", "AB", "plc", "PLC", "Pty", "KK",
+    "Cooperative", "Guild")
 
   val titles: Set[String] = Set(
     "president", "chairman", "chairwoman", "chief", "executive",
@@ -238,7 +243,8 @@ object Gazetteers {
       "president of", "chairman of", "led by", "headed by", "head of",
       "director of"),
     "org:founded_by" -> Seq("founded by", "cofounded by", "co-founded by",
-      "established by", "created by", "founder of", "started by"),
+      "established by", "created by", "founder of", "started by",
+      "founded"),
     "org:founded" -> Seq("founded in", "established in", "was founded",
       "formed in", "created in"),
     "org:dissolved" -> Seq("dissolved in", "shut down in", "closed in",

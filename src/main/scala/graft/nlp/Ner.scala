@@ -161,6 +161,8 @@ object Ner {
         var end = i
         while (end < n && ner(end) == "O" &&
                (isCapWord(words(end)) || isAcronym(words(end)) ||
+                 // lowercase legal suffixes ("plc") extend the run too
+                 (end > i && Gazetteers.orgSuffixes.contains(words(end))) ||
                  (end > i && (words(end) == "of" || words(end) == "&") &&
                    end + 1 < n && ner(end + 1) == "O" && isCapWord(words(end + 1)))))
           end += 1

@@ -18,7 +18,10 @@ object DebugE2E {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val (pages, gold) = PageGen.corpus(n)
+    // n = -1 selects the hand-authored out-of-generator set (HandEval)
+    val (pages, gold) =
+      if (n < 0) { val (p, g) = graft.fixtures.HandEval.corpus(); (p, g.toSet) }
+      else PageGen.corpus(n)
     val pagesDs = spark.createDataset(pages)
     val triples =
       KGPipeline.run(spark, pagesDs, classifier = classifier).collect()

@@ -219,6 +219,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.length <= 5)
   }
 
+  test("IVF persisted form: probe over re-read table is partition-pruned") {
+    // the production IVF shape: fit once, WRITE the assigned table
+    // partitioned by list_id, probe the RE-READ table — the probe's
+    // list_id IN (...) filter must become partition pruning at the file
+    // scan (only nProbe of nLists directories read), and results must
+    // equal the in-memory probe exactly
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 120).map { i =>
+      val base = (i % 4) * 90f
+      (i.toLong, Array(base + rnd.nextFloat(), base / 2 + rnd.nextFloat(),
+        rnd.nextFloat(), rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val query = Array(90.4f, 45.2f, 0.5f, 0.5f)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val fitted = NearDup.ivfFit(spark, emb, nLists = 4)
+    NearDup.ivfWrite(fitted, dir)
+    val reopened = NearDup.ivfRead(spark, dir)
+    assert(reopened.centers.length == 4)
+    val mem = NearDup.ivfProbe(spark, fitted, query, k = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val disk = NearDup.ivfProbe(spark, reopened, query, k = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(disk == mem, s"disk=$disk mem=$mem")
+    // physical-plan pruning assert: 2 of the 4 list_id directories scanned
+    val probedIds = reopened.centers.zipWithIndex.sortBy { case (c, i) =>
+      (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+    }.take(2).map(_._2)
+    val pruned = reopened.assigned
+      .filter(col("list_id").isin(probedIds: _*))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan in the probe plan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, got " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    val all = reopened.assigned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(all.head.selectedPartitions.partitionCount == 4)
+  }
+
   test("bag aggregation modes: noisy-or >= max >= any single p; sum capped") {
     val p = Provenance("d", "u", 0, 0, 1, 2, 3)
     val fills = Seq(0.4, 0.5, 0.6).map(sc =>
