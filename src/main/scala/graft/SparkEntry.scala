@@ -972,6 +972,28 @@ object SparkEntry {
         .select($"url", $"doc_id", $"sent_idx", $"text")
         .orderBy($"url", $"sent_idx")
     }),
+    // q80: distributed suffix-array ranks (prefix doubling, O(log
+    // maxDocLen) keyed rounds) over a 40-doc slice — the oracle IS the
+    // definition: dense_rank over the suffix strings
+    "q80_suffix_ranks" -> q((s, d) => {
+      import s.implicits._
+      graft.text.SuffixOps.suffixRanks(s,
+        t(s, d, "documents").filter($"doc_id" < 40)
+          .select($"doc_id", $"text"))
+        .orderBy($"doc_id", $"off")
+    }),
+    // q81: longest duplicated spans via suffix-array adjacency + capped
+    // LCP — the arbitrary-length dedup query only the SA answers
+    "q81_longest_repeats" -> q((s, d) => {
+      import s.implicits._
+      graft.text.SuffixOps.longestRepeats(s,
+        t(s, d, "documents").select($"doc_id", $"text"), k = 20)
+    }),
+    // q82: fixed-length exact char-span repeats (the hash-aggregate
+    // fast path for a KNOWN span length; see SuffixOps scaladoc)
+    "q82_char_spans" -> q((s, d) =>
+      graft.text.SuffixOps.repeatedSpans(s, t(s, d, "documents"),
+        minLen = 30, k = 50)),
     // q79: the KG pipeline's relational TAIL pinned by a real oracle,
     // independently of the (non-SQL-expressible) NLP front: the
     // post-linking post-symmetric fills — consistentTriples' exact
@@ -1950,6 +1972,45 @@ object SparkEntry {
     // q79: generated restatement of the KG pipeline's relational tail
     // over the fills parquet the query dumps — see KgTailOracle
     "q79_kg_tail" -> KgTailOracle.sql(KgTailDumpPath),
+    // q80: the suffix-rank CONTRACT, stated directly: dense_rank over
+    // the per-position suffix strings (ties = equal suffixes share a
+    // rank; a proper prefix sorts before its extensions)
+    "q80_suffix_ranks" ->
+      """WITH p AS (SELECT doc_id, text, unnest(range(length(text))) AS off
+             FROM documents WHERE doc_id < 40)
+         SELECT doc_id, off,
+           CAST(dense_rank() OVER (
+             ORDER BY substring(text, CAST(off AS INT) + 1)) AS BIGINT)
+             AS rank
+         FROM p ORDER BY doc_id, off""",
+    // q81: SA adjacency restated with lead() over the FULL-suffix order,
+    // LCP by the same monotone capped prefix-compare as the operator
+    "q81_longest_repeats" ->
+      """WITH p AS (SELECT doc_id, text, unnest(range(length(text))) AS off
+             FROM documents),
+         o AS (SELECT substring(text, CAST(off AS INT) + 1) AS fullsfx,
+                 substring(text, CAST(off AS INT) + 1, 200) AS sfx FROM p),
+         q AS (SELECT sfx, lead(sfx) OVER (ORDER BY fullsfx) AS nx FROM o),
+         l AS (SELECT sfx AS a,
+                 len(list_filter(range(1,
+                     greatest(least(len(sfx), len(nx)), 1) + 1),
+                   i -> substr(sfx, 1, i) = substr(nx, 1, i))) AS l
+               FROM q WHERE nx IS NOT NULL)
+         SELECT substr(a, 1, CAST(l AS INT)) AS span,
+           CAST(l AS BIGINT) AS lcp, count(*) AS n_pairs
+         FROM l WHERE l >= 2 GROUP BY 1, 2
+         ORDER BY lcp DESC, span LIMIT 20""",
+    // q82: fixed-length span counts — plain sliding-window aggregate
+    "q82_char_spans" ->
+      """WITH u AS (SELECT text,
+             unnest(range(greatest(length(text) - 30, 0) + 1)) AS i
+           FROM documents),
+         s AS (SELECT substring(text, CAST(i AS INT) + 1, 30) AS span
+               FROM u)
+         SELECT span, count(*) AS n_occurrences FROM s
+         WHERE len(span) >= 30
+         GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY n_occurrences DESC, span LIMIT 50""",
     "q77_crawl_depth" ->
       """WITH RECURSIVE e AS (SELECT doc_id AS src, doc_id + 1 AS dst
              FROM documents
