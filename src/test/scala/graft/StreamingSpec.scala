@@ -84,6 +84,12 @@ class StreamingSpec extends AnyFunSuite {
       .schema(spark.createDataset(snap1).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir).as[graft.model.Page]
+    // a stray NON-NUMERIC state dir carrying a _COMMITTED marker (a
+    // crashed tool, an editor backup) must be ignored by carry-forward
+    // discovery, not NumberFormatException the whole batch
+    val junk = new java.io.File(s"$root/state/_stray_tool_dir")
+    junk.mkdirs()
+    new java.io.File(junk, "_COMMITTED").createNewFile()
     val q = StreamIngest.recrawlLoop(spark, stream, root)
     q.awaitTermination()
     assert(KGPipeline.lastIncrementalRedo == 25L,
