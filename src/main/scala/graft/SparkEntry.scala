@@ -151,12 +151,15 @@ object SparkEntry {
       // aggregate over an ordering-encoded struct (price desc, then
       // linenumber asc via negation), NOT a rank-filter window: no global
       // sort of the fact table (same round-4 plan shape as q02).
-      // l_linenumber is unique within an order, so the struct ordering is
-      // total and the argmax deterministic.
+      // r6 (guide §2.3 "narrower types"): the struct's leading sort field
+      // is price_cents (BIGINT) instead of the raw double — prices are
+      // exact 2-decimal money (verified *100 integral across SFs), so the
+      // cents ordering is the same total preorder and the duplicated
+      // l_extendedprice field drops out of the shuffled struct.
       t(s, d, "lineitem")
-        .select($"l_orderkey", struct($"l_extendedprice",
-            (-$"l_linenumber").as("nln"), $"l_partkey", $"l_linenumber",
-            cents($"l_extendedprice").as("price_cents")).as("it"))
+        .select($"l_orderkey", struct(
+            cents($"l_extendedprice").as("price_cents"),
+            (-$"l_linenumber").as("nln"), $"l_partkey", $"l_linenumber").as("it"))
         .groupBy($"l_orderkey").agg(max($"it").as("m"))
         .select($"l_orderkey", $"m.l_partkey".as("l_partkey"),
           $"m.l_linenumber".as("l_linenumber"),
@@ -181,13 +184,26 @@ object SparkEntry {
     }),
     "q05_star_join" -> q((s, d) => {
       import s.implicits._
-      // star join: fact ⋈ broadcast dims (gazetteer-join shape, S5)
+      // star join: fact ⋈ broadcast dims (gazetteer-join shape, S5).
+      // r6 (guide §2.3 "aggregate before you shuffle" + §3): the fact
+      // side is pre-aggregated by its join key BEFORE any join — the
+      // three per-row broadcast probes over the full fact table become
+      // one map-side-combinable hash aggregate (|suppkey| rows reach the
+      // joins instead of |lineitem|), and the three dimension hops are
+      // collapsed into ONE broadcast (s_suppkey -> r_name) built from the
+      // tiny dim-only join chain. Exact: l_quantity is integer-valued
+      // (checked across SFs), so regrouped double sums are bit-exact, and
+      // count/sum over disjoint suppkey groups re-sum losslessly.
+      val dims = t(s, d, "supplier")
+        .join(t(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, d, "region"), $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"r_name")
       t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"l_suppkey").agg(
+          count(lit(1)).as("_n"), sum($"l_quantity").as("_sq"))
+        .join(broadcast(dims), $"l_suppkey" === $"s_suppkey")
         .groupBy($"r_name").agg(
-          count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+          sum($"_n").as("n"), sum($"_sq").as("sum_qty"))
         .orderBy($"r_name")
     }),
     "q06_anti_join" -> q((s, d) => {
@@ -310,19 +326,26 @@ object SparkEntry {
     }),
     "q18_docs_jaccard" -> q((s, d) => {
       import s.implicits._
-      // word-set Jaccard near-dup join (shingle n=1): explode -> distinct ->
+      // word-set Jaccard near-dup join (shingle n=1): per-doc distinct ->
       // df-cap -> self-join on shared token -> |∩|/|∪|. The doc-frequency
       // cap drops stop-words shared by >maxDf docs BEFORE the self-join —
       // without it the join is quadratic on ubiquitous tokens (the library
       // twin NearDup.ngramJaccard applies the same cap); set sizes are
-      // computed on the SAME capped token sets so the oracle mirrors exactly
+      // computed on the SAME capped token sets so the oracle mirrors exactly.
+      // r6 (guide §2.4): the former `.distinct()` over the exploded
+      // (doc_id, word) stream shuffled the whole token table just to dedup
+      // WITHIN docs — array_distinct computes the same per-doc set
+      // row-locally, removing that exchange outright; and the surviving
+      // token table is materialized ONCE (the q19 localCheckpoint pattern)
+      // instead of being re-derived for each of its four consumers
+      // (plan was 46 Exchanges / 8 parquet scans; now 1 scan).
       val maxDf = 100
       val wAll = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .distinct()
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
       val rare = wAll.groupBy($"word").agg(count(lit(1)).as("df"))
         .filter($"df" <= maxDf)
       val w = wAll.join(rare.select($"word"), Seq("word"), "left_semi")
+        .localCheckpoint(true)
       val sz = w.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = w.as("a").join(w.as("b"),
           $"a.word" === $"b.word" && $"a.doc_id" < $"b.doc_id")
@@ -763,15 +786,23 @@ object SparkEntry {
       import s.implicits._
       // brute-force cosine top-k ANN baseline over ARRAY<FLOAT>
       val e = t(s, d, "embeddings")
-      val q = e.filter($"vec_id" === 0)
-        .select($"embedding".as("qe"))
+      // r6: dimension-sized driver fetch (the q27 centroid precedent) —
+      // the query vector and its squared norm are constants of the scan;
+      // the former 1-row broadcast crossJoin existed only to carry them,
+      // and normSq(qe) re-paid d multiply-adds per corpus row for a
+      // constant. The driver fold below is the same left fold as
+      // vec.normSq (float widened to double, ascending index), so the
+      // value — and every rounded cosine — is bit-identical.
+      val qArr = e.filter($"vec_id" === 0)
+        .select($"embedding").collect()(0).getSeq[Float](0)
+      var nbv = 0.0
+      qArr.foreach { x => nbv += x.toDouble * x.toDouble }
       // fused native kernels — codegen'd, bit-identical to the HOF folds
       // they replace (functions/VectorExpressions.scala, VectorExprSpec)
-      val dot = graft.functions.vec.dot($"embedding", $"qe")
+      val dot = graft.functions.vec.dot($"embedding", typedLit(qArr))
       val na = graft.functions.vec.normSq($"embedding")
-      val nb = graft.functions.vec.normSq($"qe")
-      e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
-        .select($"vec_id", round(dot / sqrt(na * nb), 5).as("cos"))
+      e.filter($"vec_id" =!= 0)
+        .select($"vec_id", round(dot / sqrt(na * lit(nbv)), 5).as("cos"))
         .orderBy($"cos".desc, $"vec_id").limit(10)
     }),
     // multimodal plumbing with REAL image decodes on the driver-visible

@@ -160,9 +160,13 @@ object NearDup {
    *  64-bit minhash functions (its hex halves), projected BEFORE the
    *  aggregate so each md5 is evaluated once. The md5 family (not
    *  xxhash64) is deliberate: DuckDB recomputes the identical
-   *  fingerprint for the oracle. No distinct before the min-agg: min()
-   *  is idempotent over duplicate words, so deduping first would only
-   *  add a full extra shuffle of the exploded corpus.
+   *  fingerprint for the oracle. Words are deduped IN-ROW
+   *  (array_distinct — no shuffle) before the explode: min() is
+   *  idempotent over duplicates, so the minima are unchanged, but each
+   *  md5 runs once per DISTINCT word per doc instead of once per
+   *  occurrence (guide §2.3 — don't compute what you throw away; a
+   *  global `.distinct()` would instead have added a full shuffle of
+   *  the exploded corpus).
    *
    *  shingle=1 hashes single words (the oracle'd q19/q38 form); a
    *  larger shingle hashes word n-grams instead, which sharpens the
@@ -177,30 +181,36 @@ object NearDup {
       if (shingle <= 1) split($"text", " ")
       else shingleCol("text", shingle)
     val w = docs
-      .select($"doc_id", explode(unit).as("word"))
+      .select($"doc_id", explode(array_distinct(unit)).as("word"))
       .select($"doc_id" +: (0 until 4).map(k =>
         md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
       .select($"doc_id" +: (0 until 8).map(k =>
         substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
     val hs = (0 until 8).map(k => min(col(s"p$k")).as(s"h$k"))
     val m = w.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
-    // materialize the signature table once: it feeds BOTH sides of BOTH
-    // band joins, and without the checkpoint Spark recomputes the whole
-    // explode+minhash subtree for each use (at scale you'd persist the
-    // signatures the same way)
+    // materialize the signature table once: it feeds both sides of the
+    // stacked band join (rep aggregate + probe), and without the
+    // checkpoint Spark recomputes the whole explode+minhash subtree for
+    // each use (at scale you'd persist the signatures the same way)
     val b = m.select($"doc_id",
       md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
       md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
       .localCheckpoint(true)
     // per band: bucket rep = min(doc_id); edge (rep, member) for every
-    // other member. The rep table is tiny (one row per bucket) — the
-    // join shuffles on the band key only
-    def starEdges(band: String) = {
-      val reps = b.groupBy(col(band)).agg(min($"doc_id").as("d1"))
-      b.join(reps, band).where($"doc_id" > $"d1")
-        .select($"d1", $"doc_id".as("d2"))
-    }
-    starEdges("b1").union(starEdges("b2")).distinct()
+    // other member. r6 (guide §2.4): both bands share ONE agg + ONE join
+    // by stacking (band_no, band_val) rows — the former per-band
+    // agg/join pairs built two broadcast exchanges and twice the codegen
+    // for the identical shape; the stacked form computes the same edge
+    // set (per-(band_no, value) rep = min doc_id, edge per other member)
+    // with half the plan. Join input doubles to 2 rows/doc but carries
+    // only (band_no, value, doc_id) — same bytes as the two joins did.
+    val stack = b.select($"doc_id", explode(array(
+        struct(lit(1).as("bn"), $"b1".as("bv")),
+        struct(lit(2).as("bn"), $"b2".as("bv")))).as("e"))
+      .select($"doc_id", $"e.bn".as("bn"), $"e.bv".as("bv"))
+    val reps = stack.groupBy($"bn", $"bv").agg(min($"doc_id").as("d1"))
+    stack.join(reps, Seq("bn", "bv")).where($"doc_id" > $"d1")
+      .select($"d1", $"doc_id".as("d2")).distinct()
   }
 
   /** End-to-end crawl dedup: MinHash star edges → connected components →
