@@ -75,7 +75,10 @@ object Candidates {
           if (seen.add(key)) {
             val entFirst = ent.e <= slot.b
             val (lo, hi) = if (entFirst) (ent.e, slot.b) else (slot.e, ent.b)
-            val between = (lo until hi).map(words(_)).toArray
+            // r6 (guide §1.2 step 2, per-task work): the raw-case copy of
+            // the between-window existed only to be re-lowercased inside
+            // featurize — every consumer reads the lowercase form, so only
+            // that is materialized now
             val betweenLc = java.util.Arrays.copyOfRange(wordsLc, lo, hi)
             // pattern hits computed here where the raw ordered between-window
             // is available; carried as rule=<rel> / trigger=<rel> features so
@@ -91,12 +94,12 @@ object Candidates {
               url = s.url, doc_id = s.doc_id, sent_idx = s.sent_idx,
               ent_b = ent.b, ent_e = ent.e, slot_b = slot.b, slot_e = slot.e,
               features = featurize(ent.ner, slot.ner, entFirst, dist,
-                between, words, ners, ent.b, ent.e, slot.b, slot.e,
+                betweenLc, wordsLc, ners, ent.b, ent.e, slot.b, slot.e,
                 corefSlot = slot.normalized != slot.surface) ++
                 graft.nlp.DepLite.pathFeatures(toks, arcs,
                   ent.b, ent.e, slot.b, slot.e) ++
-                triggerHits.map(rel => s"trigger=$rel") ++
-                ruleHits.map(rel => s"rule=$rel"),
+                triggerHits.map(rel => Patterns.triggerFeature(rel)) ++
+                ruleHits.map(rel => Patterns.ruleFeature(rel)),
               between = betweenLc.toSeq)
           }
         }
@@ -140,6 +143,12 @@ object Candidates {
   private val betweenUniF = new FeatureMemo(w => "between_uni=" + sp(w))
   private val betweenClF =
     new FeatureMemo(w => "between_cluster=" + Gazetteers.wordCluster(w))
+  // small fixed domains (NER types, type pairs, distance bins) — the
+  // interpolated strings repeat across every candidate of a type pair
+  private val arg1TypeF = new FeatureMemo(t => "arg1type=" + t)
+  private val arg2TypeF = new FeatureMemo(t => "arg2type=" + t)
+  private val argTypesF = new FeatureMemo(t => "argtypes=" + t)
+  private val entityBetweenF = new FeatureMemo(t => "entity_between=" + t)
   private val entPrevF = new FeatureMemo(w => "ent_prev=" + sp(w))
   private val entNextF = new FeatureMemo(w => "ent_next=" + sp(w))
   private val slotPrevF = new FeatureMemo(w => "slot_prev=" + sp(w))
@@ -166,47 +175,64 @@ object Candidates {
    *  lexicalized, KBPProcess.java:64), entities-between + counts
    *  (:401-449), number/date bins (:524-564), coref flag (:597-602). */
   def featurize(subjType: String, objType: String, entFirst: Boolean,
-                dist: Int, between: Array[String], words: IndexedSeq[String],
+                dist: Int, betweenLc: Array[String], wordsLc: Array[String],
                 ners: IndexedSeq[String],
                 eb: Int, ee: Int, sb: Int, se: Int,
                 corefSlot: Boolean): Seq[String] = {
-    val f = Seq.newBuilder[String]
-    f += s"arg1type=$subjType"
-    f += s"arg2type=$objType"
-    f += s"argtypes=$subjType-$objType"
-    f += s"arg_order=${if (entFirst) "e_before_s" else "s_before_e"}"
-    f += s"dist_bin=${distBin(dist)}"
+    // r6 (guide §1.2 step 2): this is the dominant per-candidate cost of
+    // the map stage (FeatMicro). Three changes, all byte-identical output:
+    // the caller's per-sentence lowercase arrays are indexed directly
+    // (the old signature re-ran toLowerCase on every word of every
+    // candidate's windows), the small fixed-domain families are memoized
+    // like the word families, and the trailing `.distinct` pass is fused
+    // into the builder (first-occurrence order preserved via a seen-set,
+    // exactly what Seq.distinct keeps).
+    val f = Vector.newBuilder[String]
+    val dedup = new java.util.HashSet[String](64)
+    def add(s: String): Unit = if (dedup.add(s)) f += s
+    add(arg1TypeF(subjType))
+    add(arg2TypeF(objType))
+    add(argTypesF(subjType + "-" + objType))
+    add(if (entFirst) "arg_order=e_before_s" else "arg_order=s_before_e")
+    add(distBinF(dist))
     // surface_distance_binary (:259-266): close pairs are special
-    if (dist <= 4) f += "dist_binary=short"
-    val betweenLc = between.map(_.toLowerCase)
-    betweenLc.foreach(w => f += betweenUniF(w))
-    betweenLc.sliding(2).filter(_.length == 2)
-      .foreach(bi => f += s"between_bi=${sp(bi.mkString("_"))}")
-    betweenLc.foreach(w => f += betweenClF(w))
+    if (dist <= 4) add("dist_binary=short")
+    var bi = 0
+    while (bi < betweenLc.length) { add(betweenUniF(betweenLc(bi))); bi += 1 }
+    bi = 0
+    while (bi + 1 < betweenLc.length) {
+      // tokens never contain spaces (Tokenizer emits \S runs), so the old
+      // sp(mkString("_")) is a plain '_'-join
+      add(new java.lang.StringBuilder(24).append("between_bi=")
+        .append(betweenLc(bi)).append('_').append(betweenLc(bi + 1)).toString)
+      bi += 1
+    }
+    bi = 0
+    while (bi < betweenLc.length) { add(betweenClF(betweenLc(bi))); bi += 1 }
     // adjacent words + clusters (windows of 1 around each span)
     if (eb > 0) {
-      val w = words(eb - 1).toLowerCase
-      f += entPrevF(w); f += entPrevClF(w)
+      val w = wordsLc(eb - 1)
+      add(entPrevF(w)); add(entPrevClF(w))
     }
-    if (ee < words.length) {
-      val w = words(ee).toLowerCase
-      f += entNextF(w); f += entNextClF(w)
+    if (ee < wordsLc.length) {
+      val w = wordsLc(ee)
+      add(entNextF(w)); add(entNextClF(w))
     }
     if (sb > 0) {
-      val w = words(sb - 1).toLowerCase
-      f += slotPrevF(w); f += slotPrevClF(w)
+      val w = wordsLc(sb - 1)
+      add(slotPrevF(w)); add(slotPrevClF(w))
     }
-    if (se < words.length) {
-      val w = words(se).toLowerCase
-      f += slotNextF(w); f += slotNextClF(w)
+    if (se < wordsLc.length) {
+      val w = wordsLc(se)
+      add(slotNextF(w)); add(slotNextClF(w))
     }
     // arg2 span words (arg1 not lexicalized): head + every span unigram
-    val head = words(se - 1).toLowerCase
-    f += arg2WordF(head)
-    f += arg2ClF(head)
+    val head = wordsLc(se - 1)
+    add(arg2WordF(head))
+    add(arg2ClF(head))
     var k = sb
     while (k < se) {
-      f += arg2SpanF(words(k).toLowerCase)
+      add(arg2SpanF(wordsLc(k)))
       k += 1
     }
     // entities-between + counts (:401-449): NE runs strictly between spans
@@ -216,26 +242,36 @@ object Candidates {
     while (i < hi) {
       val t = ners(i)
       if (t != "O" && (i == lo || ners(i - 1) != t)) {
-        f += s"entity_between=$t"
+        add(entityBetweenF(t))
         nEnts += 1
       }
       i += 1
     }
-    f += s"entities_between_bin=${if (nEnts == 0) "0" else if (nEnts == 1) "1" else if (nEnts == 2) "2" else "3+"}"
-    if (nEnts == 0) f += "no_entity_between"
-    // number/date bins (:524-564)
+    add(if (nEnts == 0) "entities_between_bin=0"
+        else if (nEnts == 1) "entities_between_bin=1"
+        else if (nEnts == 2) "entities_between_bin=2"
+        else "entities_between_bin=3+")
+    if (nEnts == 0) add("no_entity_between")
+    // number/date bins (:524-564) — digits are case-invariant, so the
+    // lowercase forms feed them unchanged
     if (objType == graft.model.NER.NUMBER) {
       val digits = head.takeWhile(_.isDigit)
-      if (digits.nonEmpty) f += s"number_magnitude=${digits.length}"
+      if (digits.nonEmpty) add(s"number_magnitude=${digits.length}")
     }
     if (objType == graft.model.NER.DATE) {
-      val y = words(sb).takeWhile(_.isDigit)
-      if (y.length == 4) f += s"date_decade=${y.take(3)}"
+      val y = wordsLc(sb).takeWhile(_.isDigit)
+      if (y.length == 4) add(s"date_decade=${y.take(3)}")
     }
     // coref flag (:597-602): the slot surfaced via an antecedent rewrite
-    if (corefSlot) f += "arg2_coref"
+    if (corefSlot) add("arg2_coref")
     // trigger features are appended by the caller from the direction-aware
     // pattern matcher (Patterns.matchBoth), not from a bag-of-words list
-    f.result().distinct
+    f.result()
   }
+
+  private val distBinFeats = Map(
+    "0" -> "dist_bin=0", "1" -> "dist_bin=1", "2" -> "dist_bin=2",
+    "3-5" -> "dist_bin=3-5", "6-10" -> "dist_bin=6-10",
+    "11-25" -> "dist_bin=11-25")
+  private def distBinF(d: Int): String = distBinFeats(distBin(d))
 }

@@ -165,6 +165,32 @@ object Patterns {
   /** rel -> rules, precomputed. */
   private val byRel: Map[String, Seq[Rule]] = rules.groupBy(_.rel)
 
+  /** r6 (guide §1.2 step 2): matchBoth runs once per candidate pair and
+   *  used to re-allocate " phrase " for every rule probed and re-walk
+   *  Relations.all with a map lookup per relation. Both are loop
+   *  invariants: the padded phrase is a property of the rule, and the
+   *  (relation meta, rules) walk is a property of the entity type. Hit
+   *  semantics are unchanged — same rules, same order, same gates. */
+  private final case class CompiledRule(padded: String, dir: Int,
+                                        maxDist: Int, objTypes: Set[String],
+                                        atEnd: Boolean)
+  private val byEntityType: Map[String, Array[(graft.model.RelationMeta, Array[CompiledRule])]] =
+    Relations.all.groupBy(_.entityType).map { case (et, metas) =>
+      et -> metas.map { meta =>
+        meta -> byRel.getOrElse(meta.name, Nil).map(rl =>
+          CompiledRule(if (rl.phrase.isEmpty) "" else " " + rl.phrase + " ",
+            rl.dir, rl.maxDist, rl.objTypes, rl.atEnd)).toArray
+      }.toArray
+    }
+  private val noRelations = Array.empty[(graft.model.RelationMeta, Array[CompiledRule])]
+
+  /** Memoized "trigger=<rel>" / "rule=<rel>" feature strings (fixed
+   *  domain: the 41 relation names) — built once, not per candidate. */
+  val triggerFeature: Map[String, String] =
+    Relations.all.map(m => m.name -> ("trigger=" + m.name)).toMap
+  val ruleFeature: Map[String, String] =
+    Relations.all.map(m => m.name -> ("rule=" + m.name)).toMap
+
   /** (rule hits, trigger hits): rule hits respect the full gate (entity
    *  type + slot type + rule objTypes); trigger hits ignore the slot-type
    *  gates and feed the LR trigger features (direction/distance-aware, so
@@ -174,32 +200,30 @@ object Patterns {
                 betweenLc: Array[String]): (Seq[String], Seq[String]) = {
     val betweenStr = " " + betweenLc.mkString(" ") + " "
     val dist = betweenLc.length
-    def phraseOk(rule: Rule): Boolean =
+    def phraseOk(rule: CompiledRule): Boolean =
       (rule.dir == 0 || (rule.dir == 1) == entFirst) &&
         dist <= rule.maxDist && {
-          if (rule.phrase.isEmpty) true
-          else {
-            val p = " " + rule.phrase + " "
-            if (rule.atEnd) betweenStr.endsWith(p) else betweenStr.contains(p)
-          }
+          rule.padded.isEmpty ||
+            (if (rule.atEnd) betweenStr.endsWith(rule.padded)
+             else betweenStr.contains(rule.padded))
         }
     val ruleHits = Seq.newBuilder[String]
     val triggerHits = Seq.newBuilder[String]
-    Relations.all.foreach { meta =>
-      if (meta.entityType == subjType) {
-        val rs = byRel.getOrElse(meta.name, Nil)
-        var rule = false; var trig = false
-        rs.foreach { rl =>
-          if (!(rule && trig) && phraseOk(rl)) {
-            trig = true
-            if (meta.validSlotTypes.contains(objType) &&
-                (rl.objTypes.isEmpty || rl.objTypes.contains(objType)))
-              rule = true
-          }
+    byEntityType.getOrElse(subjType, noRelations).foreach { case (meta, rs) =>
+      var rule = false; var trig = false
+      var i = 0
+      while (i < rs.length && !(rule && trig)) {
+        val rl = rs(i)
+        if (phraseOk(rl)) {
+          trig = true
+          if (meta.validSlotTypes.contains(objType) &&
+              (rl.objTypes.isEmpty || rl.objTypes.contains(objType)))
+            rule = true
         }
-        if (rule) ruleHits += meta.name
-        if (trig) triggerHits += meta.name
+        i += 1
       }
+      if (rule) ruleHits += meta.name
+      if (trig) triggerHits += meta.name
     }
     (ruleHits.result(), triggerHits.result())
   }
