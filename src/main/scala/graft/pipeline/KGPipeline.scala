@@ -124,19 +124,61 @@ object KGPipeline {
    *  SimpleSlotFiller.findBestProvenance without a second pass). */
   def aggregateBags(spark: SparkSession, fills: Dataset[SlotFill]): Dataset[SlotFill] = {
     import spark.implicits._
+    // r6 (guide §2.4/§1.2): the former groupBy().agg(sum(log1p...),
+    // max(struct(score, prov))) planned as SortAggregate — a struct-typed
+    // aggregation buffer is not UnsafeRow-mutable, so Spark sorted the
+    // WHOLE fills stream by the 5-column string key TWICE (partial +
+    // final; AggProbe pins the planner behavior). This form keeps the one
+    // hash exchange on the bag key and replaces both sorts with a
+    // streaming per-partition merge whose per-bag state is O(1): the
+    // running log-domain sum and the current argmax (score, prov). Same
+    // contract as before: log1p terms still sum in arrival order with the
+    // result rounded to 12 decimals (the determinism barrier), and the
+    // argmax ordering is (score, prov) exactly as the struct-max computed
+    // it (provOrdering — same field order; byte order vs the SQL struct
+    // compare coincides on the ASCII doc ids/urls this pipeline emits,
+    // the same assumption groupTriples already makes). Trade, documented:
+    // no map-side partial aggregation — the shuffle carries every fill
+    // (measured bag duplication ~1.17x at bench scale); in exchange the
+    // two full-stream sorts disappear, which measured far larger.
     fills.toDF()
-      .groupBy($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
-      .agg(
-        // log-domain noisy-or: 1 - prod(1-p); p=1 contributes -inf -> 1.0.
-        // Rounded to 12 decimals: log1p terms sum in partition-arrival
-        // order, and downstream orderings compare scores EXACTLY — the
-        // rounding restores determinism under any parallelism.
-        round(lit(1.0) - exp(sum(log1p(-least($"score", lit(1.0))))), 12).as("score"),
-        // deterministic argmax provenance: struct ordering = (score, prov)
-        max(struct($"score", $"prov")).getField("prov").as("prov"))
-      .select($"subj", $"subj_type", $"pred", $"obj", $"obj_type",
-        least($"score", lit(1.0)).as("score"), $"prov")
+      .repartition($"subj", $"subj_type", $"pred", $"obj", $"obj_type")
       .as[SlotFill]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap[
+          (String, String, String, String, String),
+          BagAcc]()
+        it.foreach { f =>
+          val k = (f.subj, f.subj_type, f.pred, f.obj, f.obj_type)
+          val a = acc.getOrElseUpdate(k, new BagAcc)
+          // SQL-exact: Spark's log1p(-1.0) is NULL (out of domain) and
+          // sum() skips nulls, so a p=1 fill contributes NOTHING to the
+          // log sum — the golden-hash corpus pins this (a bag of {1.0,
+          // 0.8} scores 0.8, not 1.0)
+          if (f.score < 1.0) {
+            a.sumLog += math.log1p(-f.score)
+            a.nTerms += 1
+          }
+          val sp = (f.score, f.prov)
+          if (a.best == null || provOrdering.gt(sp, a.best)) a.best = sp
+        }
+        acc.iterator.map { case ((subj, st, pred, obj, ot), a) =>
+          // exact mirror of the SQL least(round(1 - exp(sum), 12), 1.0):
+          // an all-null sum is NULL and least(NULL, 1.0) = 1.0
+          val s =
+            if (a.nTerms == 0) 1.0
+            else math.min(1.0,
+              BigDecimal(1.0 - math.exp(a.sumLog))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          SlotFill(subj, st, pred, obj, ot, s, a.best._2)
+        }
+      }
+  }
+
+  private final class BagAcc {
+    var sumLog: Double = 0.0
+    var nTerms: Int = 0
+    var best: (Double, Provenance) = null
   }
 
   /** Stage 5y: the reference's DEFAULT output mode `y_then_noisy_or`
