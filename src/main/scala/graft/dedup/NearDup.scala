@@ -180,21 +180,27 @@ object NearDup {
     val unit =
       if (shingle <= 1) split($"text", " ")
       else shingleCol("text", shingle)
-    val w = docs
-      .select($"doc_id", explode(array_distinct(unit)).as("word"))
-      .select($"doc_id" +: (0 until 4).map(k =>
-        md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
-      .select($"doc_id" +: (0 until 8).map(k =>
-        substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
-    val hs = (0 until 8).map(k => min(col(s"p$k")).as(s"h$k"))
-    val m = w.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+    // r6 (guide §2.3/§4): the 8 per-doc minhash halves are computed by the
+    // fused native kernel in ONE pass over the in-row distinct word array
+    // (functions/TextExpressions.scala — same 4 md5 digests per word, same
+    // minima bit-for-bit). The former explode -> 4 md5 cols -> 8 substring
+    // cols -> groupBy(doc_id).agg(8 mins) materialized a words×8×16-char
+    // stream and a full hash aggregate just to fold it straight back to
+    // one row per doc; the whole explode+aggregate stage disappears and
+    // the signature job is a single narrow scan projection.
+    val m = docs
+      .select($"doc_id",
+        graft.functions.text.minhashHalves(array_distinct(unit)).as("_h"))
+      .filter($"_h".isNotNull) // explode form: no words -> no signature row
     // materialize the signature table once: it feeds both sides of the
     // stacked band join (rep aggregate + probe), and without the
-    // checkpoint Spark recomputes the whole explode+minhash subtree for
+    // checkpoint Spark recomputes the whole minhash subtree for
     // each use (at scale you'd persist the signatures the same way)
     val b = m.select($"doc_id",
-      md5(concat($"h0", $"h1", $"h2", $"h3")).as("b1"),
-      md5(concat($"h4", $"h5", $"h6", $"h7")).as("b2"))
+      md5(concat(element_at($"_h", 1), element_at($"_h", 2),
+        element_at($"_h", 3), element_at($"_h", 4))).as("b1"),
+      md5(concat(element_at($"_h", 5), element_at($"_h", 6),
+        element_at($"_h", 7), element_at($"_h", 8))).as("b2"))
       .localCheckpoint(true)
     // per band: bucket rep = min(doc_id); edge (rep, member) for every
     // other member. r6 (guide §2.4): both bands share ONE agg + ONE join

@@ -123,6 +123,45 @@ class DedupSpec extends AnyFunSuite {
     assert(v.length == 1 && v.head.getAs[Double]("jaccard") == 0.0)
   }
 
+  test("minhash_halves kernel == explode/groupBy-min SQL form, bit for bit") {
+    // r6: minhashStarEdges computes the 8 signature halves with the fused
+    // native kernel; this pins it against the original SQL restatement
+    // (explode -> 4 md5 -> 8 substring halves -> 8 min aggregates) on
+    // text with repeats, unicode, punctuation and a 1-word doc
+    val d = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "solo"),
+      (3L, "naïve café résumé — dash …"),
+      (4L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val viaKernel = d.select($"doc_id",
+      graft.functions.text.minhashHalves(array_distinct(split($"text", " ")))
+        .as("h"))
+      .select($"doc_id", posexplode($"h"))
+      .select($"doc_id", $"pos", $"col".as("half"))
+    val w = d
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+      .select($"doc_id" +: (0 until 4).map(k =>
+        md5(concat(lit(k.toString), $"word")).as(s"m$k")): _*)
+      .select($"doc_id" +: (0 until 8).map(k =>
+        substring(col(s"m${k / 2}"), 1 + 16 * (k % 2), 16).as(s"p$k")): _*)
+    val viaSql = w.groupBy($"doc_id")
+      .agg(min($"p0").as("h0"), min($"p1").as("h1"), min($"p2").as("h2"),
+        min($"p3").as("h3"), min($"p4").as("h4"), min($"p5").as("h5"),
+        min($"p6").as("h6"), min($"p7").as("h7"))
+      .select($"doc_id", posexplode(array((0 until 8).map(k => col(s"h$k")): _*)))
+      .select($"doc_id", $"pos", $"col".as("half"))
+    val a = viaKernel.collect().map(_.toString).sorted
+    val b = viaSql.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // null/empty-array inputs yield NULL (the explode form emitted no row)
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(null: Seq[String]))
+      .toDF("ws")
+      .select(graft.functions.text.minhashHalves($"ws").as("h"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("simhash near-dup pairs within small hamming distance") {
     val pairs = SimHash.nearDupPairs(docs, maxDist = 12).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
