@@ -21,9 +21,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** money -> exact integer cents (same expression on the DuckDB side). */
+  /** money -> exact integer cents. r6 (guide §1.2 step 2): Spark's
+   *  round() on DOUBLE allocates two BigDecimals per row (Double.toString
+   *  inside) — measured 22% of q01 (VariantProbe round vs floor). All
+   *  money columns here are nonnegative 2-decimal values whose *100 sits
+   *  within 1e-9 of an integer (checked across all three SFs), so
+   *  floor(x*100 + 0.5) — a cast-truncation on a nonnegative value — is
+   *  the same integer as the oracle's round-half-up, with no BigDecimal.
+   *  The DuckDB side keeps its round() form; the driver hash-compares
+   *  results, which pins the equivalence per run. */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    (c * 100 + 0.5).cast("long")
 
   /** helper fixing the lambda's type in Map literals */
   private def q(f: (SparkSession, String) => DataFrame)
@@ -132,10 +140,13 @@ object SparkEntry {
       // hash aggregate: same single exchange, no global sort, O(|group|)
       // per-group work. At 100 TB the sort was the scale hazard; the
       // hash agg is the shape that survives.
+      // r6: cents via floor-cast, not round() — see the `cents` helper
+      // (values identical: *100 is within 1e-9 of an integer on all SFs,
+      // and the long/double ordering over exact integers is the same)
       t(s, d, "lineitem").select($"l_orderkey",
           struct($"l_linenumber", $"l_partkey", $"l_suppkey",
-            round($"l_extendedprice" * 100).as("pc"),
-            round($"l_discount" * 100).as("dc")).as("it"))
+            cents($"l_extendedprice").as("pc"),
+            cents($"l_discount").as("dc")).as("it"))
         .groupBy($"l_orderkey")
         .agg(slice(array_sort(collect_list($"it")), 1, 4).as("top"))
         .select($"l_orderkey",
@@ -194,14 +205,23 @@ object SparkEntry {
       // tiny dim-only join chain. Exact: l_quantity is integer-valued
       // (checked across SFs), so regrouped double sums are bit-exact, and
       // count/sum over disjoint suppkey groups re-sum losslessly.
-      val dims = t(s, d, "supplier")
-        .join(t(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
-        .join(t(s, d, "region"), $"n_regionkey" === $"r_regionkey")
-        .select($"s_suppkey", $"r_name")
+      // r6 follow-up: THREE INDEPENDENT broadcasts instead of the chained
+      // dim-join (supplier⋈nation⋈region collapsed first, then broadcast)
+      // — the chain serialized three broadcast builds (each waiting on the
+      // previous join's output); independent dimension broadcasts build
+      // concurrently and the pre-aggregated fact side streams through all
+      // three probes in one codegen stage. Dims are projected to their
+      // key/payload columns so each broadcast carries only what the probe
+      // reads. Measured 0.415 -> 0.364 s (VariantProbe, min of 6).
       t(s, d, "lineitem")
         .groupBy($"l_suppkey").agg(
           count(lit(1)).as("_n"), sum($"l_quantity").as("_sq"))
-        .join(broadcast(dims), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "supplier").select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region").select($"r_regionkey", $"r_name")),
+          $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name").agg(
           sum($"_n").as("n"), sum($"_sq").as("sum_qty"))
         .orderBy($"r_name")
