@@ -613,8 +613,12 @@ object KGPipeline {
     require(classifier == "lr" || classifier == "miml",
       s"unknown classifier '$classifier' (expected lr | miml)")
     import spark.implicits._
-    // refuse to resume snapshots written by an incompatible pipeline layout
-    io.foreach(_.ensureVersion(PipelineVersion))
+    // refuse to resume snapshots written by an incompatible pipeline
+    // layout — the classifier is part of the version (r6 advice fix): a
+    // run dir written under classifier="lr" would otherwise silently
+    // serve LR-scored fills_raw/fills_merged snapshots to a
+    // classifier="miml" resume (same tables, different meaning)
+    io.foreach(_.ensureVersion(s"$PipelineVersion-$classifier"))
     val metrics = Seq.newBuilder[(String, String, Long, Long)]
     def ckpt[T](table: String, ds: => Dataset[T], parts: Seq[String] = Nil)
                (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =

@@ -48,7 +48,11 @@ object SuffixOps {
   def suffixRanks(spark: SparkSession, docs: DataFrame,
                   textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    val maxLen = docs.agg(max(length(col(textCol)))).head().getInt(0)
+    // empty (or all-null-text) input: max() aggregates to NULL — default
+    // to 0 so the doubling loop no-ops and the result is simply empty
+    // (the old head().getInt(0) NPE'd unboxing the null)
+    val maxLenRow = docs.agg(max(length(col(textCol)))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     // initial rank: dense id of the character under Spark's binary
     // UTF-8 string order (== DuckDB's collation; the alphabet is tiny)
     val chars = docs
@@ -142,13 +146,30 @@ object SuffixOps {
   def repeatedSpans(spark: SparkSession, docs: DataFrame, minLen: Int,
                     k: Int = 50, textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    docs
+    // r6 (guide §2.3, "shuffle keys and metadata instead of payloads"):
+    // the count pass used to shuffle one minLen-char span string PER
+    // CHARACTER POSITION of the corpus. Hash-first two-pass instead:
+    // (1) count 16-byte unhex(md5(span)) fingerprints — map-side
+    // combinable, the exchange carries fixed-width binaries (~minLen/16
+    // of the old bytes); (2) re-derive the spans scan-side and keep only
+    // those whose fingerprint survived n≥2 (AQE broadcasts the surviving
+    // table when it fits; only DUPLICATED span text is ever shuffled, by
+    // the deterministic min-per-fingerprint merge). Counts are per md5 —
+    // exact up to 128-bit collisions, the same contract the q19 band
+    // fingerprints already rely on; the q82 oracle hash-pins equality.
+    def spans = docs
       .select(explode(expr(
         s"""transform(sequence(0, greatest(length($textCol) - $minLen, 0)),
             i -> substring($textCol, i + 1, $minLen))""")).as("span"))
       .filter(length($"span") >= minLen)
-      .groupBy($"span").agg(count(lit(1)).as("n_occurrences"))
+    val hot = spans
+      .groupBy(unhex(md5($"span")).as("_h"))
+      .agg(count(lit(1)).as("n_occurrences"))
       .filter($"n_occurrences" >= 2)
+    spans.select($"span", unhex(md5($"span")).as("_h"))
+      .join(hot, Seq("_h"))
+      .groupBy($"_h", $"n_occurrences").agg(min($"span").as("span"))
+      .select($"span", $"n_occurrences")
       .orderBy($"n_occurrences".desc, $"span").limit(k)
   }
 

@@ -87,4 +87,37 @@ class SuffixSpec extends AnyFunSuite {
     // every reported span really occurs >= 2 times
     assert(got.values.forall(_ >= 2L))
   }
+
+  test("repeatedSpans: hash-first two-pass == direct span group-by") {
+    // r6: the count pass shuffles 16-byte md5 fingerprints and only
+    // duplicated span TEXT ever crosses an exchange; this pins the
+    // rewritten plan row-for-row against the direct group-by-text form
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat sat on the hat"),
+      (1L, "the cat sat on the mat again said the cat sat on."),
+      (2L, "completely unrelated text with no long repeats at all"),
+      (3L, "the cat sat on the mat and the cat sat on the hat")
+    ).toDF("doc_id", "text")
+    val minLen = 12
+    val got = SuffixOps.repeatedSpans(spark, docs, minLen, k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = docs
+      .select(explode(expr(
+        s"""transform(sequence(0, greatest(length(text) - $minLen, 0)),
+            i -> substring(text, i + 1, $minLen))""")).as("span"))
+      .filter(length(col("span")) >= minLen)
+      .groupBy(col("span")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("suffixRanks: empty and all-empty-text inputs return empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixOps.suffixRanks(spark, empty).count() == 0L)
+    val blank = Seq((0L, ""), (1L, "")).toDF("doc_id", "text")
+    assert(SuffixOps.suffixRanks(spark, blank).count() == 0L)
+  }
 }
