@@ -138,136 +138,142 @@ object PageGen {
   private def dissolvedK(k: Int) = k + 2
 
   /** One template = text + gold triples (official 2013 pred names). */
-  private def templates(i: Int): Seq[(String, Seq[Gold])] = {
+  /** r6 (guide §1.2 step 2): each of the 39 templates is a THUNK — a
+   *  page consumes only its 2-4 chosen templates (plus fillers), and the
+   *  eager form built every sentence + Gold list per page just to throw
+   *  ~90% away (PageGen was ~20% of single-thread page cost, and it runs
+   *  inside every timed kg bench job). Selection indices and the built
+   *  strings are unchanged, so pages stay byte-identical. */
+  private def templates(i: Int): IndexedSeq[() => (String, Seq[Gold])] = {
     val p = person(i); val p2 = person(i + 1); val p3 = person(i + 2)
     val o = org(i); val o2 = org(i + 1); val o3 = org(i + 2)
     val off = Relations.officialName _
 
-    Seq(
+    Vector(
       // 0: flagship person bio
-      (s"$p, ${age(i)}, was born in ${birthCity(i)} on ${dateStr(birthDateK(i))} and works as a ${titleOf(i)} at $o.",
+      () => (s"$p, ${age(i)}, was born in ${birthCity(i)} on ${dateStr(birthDateK(i))} and works as a ${titleOf(i)} at $o.",
         Seq(Gold(p, "per:age", age(i).toString),
           Gold(p, off("per:city_of_birth"), birthCity(i)),
           Gold(p, off("per:date_of_birth"), timex(birthDateK(i))),
           Gold(p, "per:title", titleOf(i)),
           Gold(p, off("per:employee_of"), o))),
       // 1: spouse (pair spacing 1)
-      (s"$p2 married $p3 in ${city(i + 20)}.",
+      () => (s"$p2 married $p3 in ${city(i + 20)}.",
         Seq(Gold(p2, "per:spouse", p3), Gold(p3, "per:spouse", p2))),
       // 2: org founding
-      (s"$o was founded by $p in ${foundedYear(i)} and is headquartered in ${hqCity(i)}.",
+      () => (s"$o was founded by $p in ${foundedYear(i)} and is headquartered in ${hqCity(i)}.",
         Seq(Gold(o, "org:founded_by", p),
           Gold(o, off("org:founded"), s"${foundedYear(i)}-XX-XX"),
           Gold(o, off("org:city_of_headquarters"), hqCity(i)))),
       // 3: org alias + headcount
-      (s"$o2, also known as ${aliasOf(i + 1)}, employs ${employees(i + 1)} people.",
+      () => (s"$o2, also known as ${aliasOf(i + 1)}, employs ${employees(i + 1)} people.",
         Seq(Gold(o2, "org:alternate_names", aliasOf(i + 1)),
           Gold(aliasOf(i + 1), "org:alternate_names", o2),
           Gold(o2, off("org:number_of_employees/members"), employees(i + 1).toString),
           Gold(aliasOf(i + 1), off("org:number_of_employees/members"), employees(i + 1).toString))),
       // 4: education + job
-      (s"$p2 graduated from $o2 and joined $o3 as a ${titleOf(i + 1)}.",
+      () => (s"$p2 graduated from $o2 and joined $o3 as a ${titleOf(i + 1)}.",
         Seq(Gold(p2, "per:schools_attended", o2),
           Gold(p2, off("per:employee_of"), o3),
           Gold(p2, "per:title", titleOf(i + 1)))),
       // 5: death (city + cause + date; date keeps X17 satisfied)
-      (s"$p3 died of ${causeOf(i + 2)} in ${deathCity(i + 2)} on ${dateStr(deathDateK(i + 2))}.",
+      () => (s"$p3 died of ${causeOf(i + 2)} in ${deathCity(i + 2)} on ${dateStr(deathDateK(i + 2))}.",
         Seq(Gold(p3, "per:cause_of_death", causeOf(i + 2)),
           Gold(p3, off("per:city_of_death"), deathCity(i + 2)),
           Gold(p3, off("per:date_of_death"), timex(deathDateK(i + 2))))),
       // 6: nationality + title + residence
-      (s"$p2, a ${natOf(i + 1)} ${titleOf(i + 1)}, lives in ${resCity(i + 1)}.",
+      () => (s"$p2, a ${natOf(i + 1)} ${titleOf(i + 1)}, lives in ${resCity(i + 1)}.",
         Seq(Gold(p2, "per:origin", natOf(i + 1)),
           Gold(p2, "per:title", titleOf(i + 1)),
           Gold(p2, off("per:cities_of_residence"), resCity(i + 1)))),
       // 7: charges
-      (s"$p was charged with ${chargeList(i % chargeList.size)} in ${1990 + (i % 30)}.",
+      () => (s"$p was charged with ${chargeList(i % chargeList.size)} in ${1990 + (i % 30)}.",
         Seq(Gold(p, "per:charges", chargeList(i % chargeList.size)))),
       // 8: acquisition (org pair spacing 3)
-      (s"$o acquired ${org(i + 3)} in ${1990 + (i % 30)}.",
+      () => (s"$o acquired ${org(i + 3)} in ${1990 + (i % 30)}.",
         Seq(Gold(o, "org:subsidiaries", org(i + 3)),
           Gold(org(i + 3), "org:parents", o))),
       // 9: top member
-      (s"$p3 is the ${topTitles(i % 3)} of $o.",
+      () => (s"$p3 is the ${topTitles(i % 3)} of $o.",
         Seq(Gold(p3, "per:title", topTitles(i % 3)),
           Gold(o, off("org:top_members/employees"), p3),
           Gold(p3, off("per:employee_of"), o))),
       // 10: per member_of
-      (s"$p is a member of $o3.",
+      () => (s"$p is a member of $o3.",
         Seq(Gold(p, off("per:member_of"), o3))),
       // 11: religion
-      (s"$p2 practices ${religionOf(i + 1)}.",
+      () => (s"$p2 practices ${religionOf(i + 1)}.",
         Seq(Gold(p2, "per:religion", religionOf(i + 1)))),
       // 12: parents/children (pair spacing 2)
-      (s"$p is the son of $p3.",
+      () => (s"$p is the son of $p3.",
         Seq(Gold(p, "per:parents", p3), Gold(p3, "per:children", p))),
       // 13: website
-      (s"$o's website is ${websiteOf(o)}.",
+      () => (s"$o's website is ${websiteOf(o)}.",
         Seq(Gold(o, "org:website", websiteOf(o)))),
       // 14: state of birth (consistent with birth city's state)
-      (s"$p2 was born in ${stateOf(birthCity(i + 1))}.",
+      () => (s"$p2 was born in ${stateOf(birthCity(i + 1))}.",
         Seq(Gold(p2, off("per:stateorprovince_of_birth"), stateOf(birthCity(i + 1))))),
       // 15: country of birth
-      (s"$p3 was born in ${countryOf(birthCity(i + 2))}.",
+      () => (s"$p3 was born in ${countryOf(birthCity(i + 2))}.",
         Seq(Gold(p3, off("per:country_of_birth"), countryOf(birthCity(i + 2))))),
       // 16: shareholders
-      (s"$p holds a stake in $o2.",
+      () => (s"$p holds a stake in $o2.",
         Seq(Gold(o2, "org:shareholders", p))),
       // 17: affiliation
-      (s"$o3 is affiliated with the ${ideologyList(i % ideologyList.size)} movement.",
+      () => (s"$o3 is affiliated with the ${ideologyList(i % ideologyList.size)} movement.",
         Seq(Gold(o3, off("org:political/religious_affiliation"),
           ideologyList(i % ideologyList.size)))),
       // 18: dissolution
-      (s"$o2 was dissolved on ${dateStr(dissolvedK(i + 1))}.",
+      () => (s"$o2 was dissolved on ${dateStr(dissolvedK(i + 1))}.",
         Seq(Gold(o2, off("org:dissolved"), timex(dissolvedK(i + 1))))),
       // 19: cousin (pair spacing 5)
-      (s"$p is a cousin of ${person(i + 5)}.",
+      () => (s"$p is a cousin of ${person(i + 5)}.",
         Seq(Gold(p, "per:other_family", person(i + 5)),
           Gold(person(i + 5), "per:other_family", p))),
       // 20: siblings (pair spacing 3)
-      (s"$p2 has a brother, ${person(i + 4)}.",
+      () => (s"$p2 has a brother, ${person(i + 4)}.",
         Seq(Gold(p2, "per:siblings", person(i + 4)),
           Gold(person(i + 4), "per:siblings", p2))),
       // 21: org member_of/members (org pair spacing 5)
-      (s"$o2 is a member of ${org(i + 6)}.",
+      () => (s"$o2 is a member of ${org(i + 6)}.",
         Seq(Gold(o2, "org:member_of", org(i + 6)),
           Gold(org(i + 6), "org:members", o2))),
       // 22: state of residence
-      (s"$p lives in ${stateOf(resCity(i))}.",
+      () => (s"$p lives in ${stateOf(resCity(i))}.",
         Seq(Gold(p, off("per:stateorprovinces_of_residence"), stateOf(resCity(i))))),
       // 23: country of residence
-      (s"$p2 lives in ${countryOf(resCity(i + 1))}.",
+      () => (s"$p2 lives in ${countryOf(resCity(i + 1))}.",
         Seq(Gold(p2, off("per:countries_of_residence"), countryOf(resCity(i + 1))))),
       // 24: person alternate names (pair spacing 7)
-      (s"$p3, also known as ${person(i + 9)}, wrote several novels.",
+      () => (s"$p3, also known as ${person(i + 9)}, wrote several novels.",
         Seq(Gold(p3, "per:alternate_names", person(i + 9)),
           Gold(person(i + 9), "per:alternate_names", p3))),
       // 25: state of death (consistent with death city's state + date)
-      (s"$p2 passed away in ${stateOf(deathCity(i + 1))} on ${dateStr(deathDateK(i + 1))}.",
+      () => (s"$p2 passed away in ${stateOf(deathCity(i + 1))} on ${dateStr(deathDateK(i + 1))}.",
         Seq(Gold(p2, off("per:stateorprovince_of_death"), stateOf(deathCity(i + 1))),
           Gold(p2, off("per:date_of_death"), timex(deathDateK(i + 1))))),
       // 26: country of death
-      (s"$p3 passed away in ${countryOf(deathCity(i + 2))} on ${dateStr(deathDateK(i + 2))}.",
+      () => (s"$p3 passed away in ${countryOf(deathCity(i + 2))} on ${dateStr(deathDateK(i + 2))}.",
         Seq(Gold(p3, off("per:country_of_death"), countryOf(deathCity(i + 2))),
           Gold(p3, off("per:date_of_death"), timex(deathDateK(i + 2))))),
       // 27: state of HQ (consistent with HQ city)
-      (s"$o3 is based in ${stateOf(hqCity(i + 2))}.",
+      () => (s"$o3 is based in ${stateOf(hqCity(i + 2))}.",
         Seq(Gold(o3, off("org:stateorprovince_of_headquarters"), stateOf(hqCity(i + 2))))),
       // 28: country of HQ
-      (s"$o2 is headquartered in ${countryOf(hqCity(i + 1))}.",
+      () => (s"$o2 is headquartered in ${countryOf(hqCity(i + 1))}.",
         Seq(Gold(o2, off("org:country_of_headquarters"), countryOf(hqCity(i + 1))))),
       // 29: pronoun coref across sentences
-      (s"$p was born in ${birthCity(i)}. He works at ${org(i + 5)}.",
+      () => (s"$p was born in ${birthCity(i)}. He works at ${org(i + 5)}.",
         Seq(Gold(p, off("per:city_of_birth"), birthCity(i)),
           Gold(p, off("per:employee_of"), org(i + 5)))),
       // 30: X10 TopEmployeeRewrite fires e2e — "appointed" proposes
       // org:top_members, "founder" between the spans rewrites to founded_by
-      (s"$o appointed founder $p3 in ${1990 + (i % 30)}.",
+      () => (s"$o appointed founder $p3 in ${1990 + (i % 30)}.",
         Seq(Gold(o, "org:founded_by", p3),
           Gold(p3, "per:title", "founder"))),
       // 31: X11 BornInRewrite fires e2e — "raised in" proposes
       // city_of_birth, the residence keyword rewrites it
-      (s"$p3 was raised in ${resCity(i + 2)}.",
+      () => (s"$p3 was raised in ${resCity(i + 2)}.",
         Seq(Gold(p3, off("per:cities_of_residence"), resCity(i + 2)))),
       // 32-38: structure-generalization forms the hand-authored eval set
       // (HandEval) exposed as gaps — participial openings, appositions,
@@ -277,17 +283,17 @@ object PageGen {
       // entity-indexed fact functions, so cross-template consistency
       // holds unchanged.
       // 32: participial opening — slot precedes the entity
-      (s"Born in ${birthCity(i + 1)}, $p2 later took up painting.",
+      () => (s"Born in ${birthCity(i + 1)}, $p2 later took up painting.",
         Seq(Gold(p2, off("per:city_of_birth"), birthCity(i + 1)))),
       // 33: age-first clause
-      (s"At ${age(i + 2)}, $p3 remains a working ${titleOf(i + 2)}.",
+      () => (s"At ${age(i + 2)}, $p3 remains a working ${titleOf(i + 2)}.",
         Seq(Gold(p3, "per:age", age(i + 2).toString),
           Gold(p3, "per:title", titleOf(i + 2)))),
       // 34: headquarters as an apposition
-      (s"$o2, headquartered in ${hqCity(i + 1)}, reported earnings.",
+      () => (s"$o2, headquartered in ${hqCity(i + 1)}, reported earnings.",
         Seq(Gold(o2, off("org:city_of_headquarters"), hqCity(i + 1)))),
       // 35: title-before-name apposition + "works for"
-      (s"The ${titleOf(i)} $p works for ${org(i + 5)}.",
+      () => (s"The ${titleOf(i)} $p works for ${org(i + 5)}.",
         Seq(Gold(p, "per:title", titleOf(i)),
           Gold(p, off("per:employee_of"), org(i + 5)))),
       // 36: residence in the past perfect (was: a death-date + residence
@@ -296,14 +302,14 @@ object PageGen {
       // firing on the residence clause's city and "since YEAR", costing
       // main-corpus precision; the cross-clause distinction stays an
       // honest HandEval gap instead)
-      (s"$p2 had lived in ${resCity(i + 1)} for two decades.",
+      () => (s"$p2 had lived in ${resCity(i + 1)} for two decades.",
         Seq(Gold(p2, off("per:cities_of_residence"), resCity(i + 1)))),
       // 37: active-voice founding, year first
-      (s"In ${foundedYear(i)}, $p founded $o.",
+      () => (s"In ${foundedYear(i)}, $p founded $o.",
         Seq(Gold(o, "org:founded_by", p),
           Gold(o, off("org:founded"), s"${foundedYear(i)}-XX-XX"))),
       // 38: reversed "where ... is headquartered" subordinate clause
-      (s"$o3 employs ${employees(i + 2)} people in ${hqCity(i + 2)}, " +
+      () => (s"$o3 employs ${employees(i + 2)} people in ${hqCity(i + 2)}, " +
         s"where $o3 is headquartered.",
         Seq(Gold(o3, off("org:number_of_employees/members"),
           employees(i + 2).toString),
@@ -442,7 +448,7 @@ object PageGen {
   def page(i: Int): (Page, Seq[Gold]) = {
     val ts = templates(i)
     val nSent = 2 + (i % 3)
-    val chosen = (0 until nSent).map(k => ts((i + k * 7) % ts.size))
+    val chosen = (0 until nSent).map(k => ts((i + k * 7) % ts.size)())
     val sents = chosen.map(_._1) ++ (0 until 5).map(k => filler(i + k))
     val text = sents.mkString(" ")
     val gold = chosen.flatMap(_._2)
