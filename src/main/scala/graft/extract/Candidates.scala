@@ -56,7 +56,7 @@ object Candidates {
     val wordsLc = words.map(_.toLowerCase).toArray
     // one deterministic arc pass per sentence; every pair's dependency
     // features walk the same forest
-    val arcs = graft.nlp.DepLite.parse(toks)
+    val arcs = graft.nlp.DepLite.forest(toks)
 
     val out = Seq.newBuilder[Candidate]
     val seen = scala.collection.mutable.HashSet[(String, String)]()

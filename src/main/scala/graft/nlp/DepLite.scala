@@ -159,36 +159,56 @@ object DepLite {
     case l => l
   }
 
+  /** Per-sentence view of the arc forest with the UNDIRECTED adjacency
+   *  prebuilt and neighbor-sorted. r6 (guide §1.2 step 2): `path` used
+   *  to rebuild + sort the adjacency on EVERY call — once per candidate
+   *  pair plus once per verb-on-path — though it depends only on the
+   *  sentence's arcs. Build once per sentence, BFS per pair. Expansion
+   *  order is identical to the old `adj(u).sortBy(_._1)` (ascending
+   *  neighbor; scala sortBy is stable and so is this sort). */
+  final class Forest private[DepLite] (val arcs: Array[Arc]) {
+    private[DepLite] val adj: Array[Array[(Int, String, Boolean)]] = {
+      val n = arcs.length
+      val lists = Array.fill(n)(List.empty[(Int, String, Boolean)])
+      var i = 0
+      while (i < n) {
+        val h = arcs(i).head
+        if (h >= 0) {
+          lists(i) = (h, arcs(i).label, true) :: lists(i)  // up
+          lists(h) = (i, arcs(i).label, false) :: lists(h) // down
+        }
+        i += 1
+      }
+      lists.map(_.sortBy(_._1).toArray)
+    }
+  }
+
+  /** Parse + prebuilt adjacency (the form the candidate loop consumes). */
+  def forest(toks: IndexedSeq[Token]): Forest = new Forest(parse(toks))
+
   /** Shortest undirected path between two token indices over the arc
    *  forest; Nil if disconnected or identical heads — the reference's
    *  bail-outs (FeatureFactory.java:686-698). Each step is rendered
    *  "label->" (up, child to head) or "<-label" (down). */
-  private def path(arcs: Array[Arc], from: Int, to: Int)
-      : Seq[(Int, String)] = {
+  private def path(f: Forest, from: Int, to: Int): Seq[(Int, String)] = {
     if (from == to) return Nil
-    val n = arcs.length
-    val adj = Array.fill(n)(List.empty[(Int, String, Boolean)])
-    var i = 0
-    while (i < n) {
-      val h = arcs(i).head
-      if (h >= 0) {
-        adj(i) = (h, arcs(i).label, true) :: adj(i)  // up
-        adj(h) = (i, arcs(i).label, false) :: adj(h) // down
-      }
-      i += 1
-    }
+    val n = f.arcs.length
     val prev = Array.fill(n)(-1)
     val via = Array.fill(n)("")
     val queue = scala.collection.mutable.Queue(from)
     prev(from) = from
     while (queue.nonEmpty && prev(to) == -1) {
       val u = queue.dequeue()
-      adj(u).sortBy(_._1).foreach { case (v, lab, up) =>
+      val nbrs = f.adj(u)
+      var j = 0
+      while (j < nbrs.length) {
+        val (v, lab, up) = nbrs(j)
         if (prev(v) == -1) {
           prev(v) = u
           via(v) = if (up) lab + "->" else "<-" + lab
           queue += v
         }
+        j += 1
       }
     }
     if (prev(to) == -1) return Nil
@@ -206,10 +226,14 @@ object DepLite {
    *  and per-path-verb stub paths. Empty when the args share a head or
    *  the path is broken — the reference's checklist-removal cases. */
   def pathFeatures(toks: IndexedSeq[Token], arcs: Array[Arc],
+                   eb: Int, ee: Int, sb: Int, se: Int): Seq[String] =
+    pathFeatures(toks, new Forest(arcs), eb, ee, sb, se)
+
+  def pathFeatures(toks: IndexedSeq[Token], fr: Forest,
                    eb: Int, ee: Int, sb: Int, se: Int): Seq[String] = {
     val h0 = headOf(toks, eb, ee)
     val h1 = headOf(toks, sb, se)
-    val steps = path(arcs, h0, h1)
+    val steps = path(fr, h0, h1)
     if (steps.isEmpty) return Nil
     val f = Seq.newBuilder[String]
     val low = steps.map(_._2)
@@ -224,10 +248,10 @@ object DepLite {
     val onPath = steps.map(_._1).filterNot(i => i == h0 || i == h1)
     onPath.filter(i => toks(i).pos.startsWith("VB")).foreach { v =>
       val lemma = toks(v).word.toLowerCase
-      val p0 = path(arcs, h0, v).map(_._2).map(s =>
+      val p0 = path(fr, h0, v).map(_._2).map(s =>
         if (s.endsWith("->")) generalize(s.dropRight(2)) + "->"
         else "<-" + generalize(s.drop(2))).mkString(" ")
-      val p1 = path(arcs, v, h1).map(_._2).map(s =>
+      val p1 = path(fr, v, h1).map(_._2).map(s =>
         if (s.endsWith("->")) generalize(s.dropRight(2)) + "->"
         else "<-" + generalize(s.drop(2))).mkString(" ")
       f += s"dep_verb_l=$p0 $lemma"
