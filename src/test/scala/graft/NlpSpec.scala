@@ -32,6 +32,38 @@ class NlpSpec extends AnyFunSuite {
     assert(TextExtractor.extractHtml("<p>" + TextExtractor.escapeHtml(s) + "</p>") == s)
   }
 
+  test("tokenizer scanner == regex alternation (differential, incl. fuzz)") {
+    // r6: tokenize() is a hand-rolled scanner; the Tok regex stays as the
+    // DEFINITION and this test diffs full (text, begin, end) streams over
+    // the generated corpus plus adversarial and fuzzed strings.
+    def diff(s: String): Unit = {
+      val a = Tokenizer.tokenize(s)
+      val b = Tokenizer.tokenizeRegex(s)
+      assert(a == b, s"tokenizer divergence on <${s.take(120)}>")
+    }
+    val adversarial = Seq(
+      "", " ", "\t\n\f\r", " ", "a b", // \s is ASCII-only
+      "http://", "https://", "www.", "http://x", "www.x",
+      "see https://ex.com/a,b). end", "www.site.com/path?q=1,2.",
+      "U.S. and U.K. vs e.g. and Ph.D. and A.B.C and i.e.x",
+      "75-year-old 3-D 10-k- 12-", "1,234.5% 1. 2,3 4.5.6 42%",
+      "O'Neil's dog don't 'tis l'été ’s x-ray-ish co- -dash",
+      "naïve café mañana Σωκράτης 北京大学 日本",
+      "𝒜𝒝 ab𝒜cd", // math script letters (surrogates)
+      "a\uD800b \uDC00c", // unpaired surrogates
+      "He said \"quote.\" (parens)! end?", "a..b ...c d.-e",
+      "Mr. Smith met Dr. Jones Jr. at Acme Inc. today.")
+    adversarial.foreach(diff)
+    (0 until 200).foreach(i => diff(graft.fixtures.PageGen.page(i)._1.text))
+    // deterministic fuzz over a nasty alphabet
+    val alphabet = "aB1 .,-'’%\"<>:/wh\t\nï北 𝒜"
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(30)
+      diff((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+  }
+
   test("tokenizer: offsets, abbreviations, clitics, urls") {
     val t = "Dr. Smith's site is https://www.x.com. Really."
     val toks = Tokenizer.tokenize(t)
