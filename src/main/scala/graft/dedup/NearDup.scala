@@ -22,9 +22,13 @@ object NearDup {
    *  maxShingleDocFreq are dropped (stop-shingle removal — the standard
    *  guard against quadratic blowup on ubiquitous shingles), which
    *  bounds the within-shingle pair join at cap² rows per hot shingle;
-   *  bounded, but still the one quadratic-per-key shape in this file —
-   *  at corpus scale prefer [[ngramJaccardStar]], whose candidates are
-   *  linear per bucket at LSH-band recall. */
+   *  bounded, but still the one quadratic-per-key shape in this file.
+   *  AT SCALE USE [[ngramJaccardStar]] INSTEAD: identical exact Jaccard
+   *  values on every pair MinHash-LSH surfaces (spec-pinned), candidates
+   *  linear per bucket; this exhaustive form exists for full-recall
+   *  verification on bounded corpora, which is also why its default cap
+   *  (1000) is tighter than unbounded but far above the q18 in-query
+   *  setting (100). */
   def ngramJaccard(spark: SparkSession, docs: DataFrame, n: Int = 3,
                    threshold: Double = 0.8,
                    maxShingleDocFreq: Long = 1000): DataFrame = {

@@ -192,7 +192,11 @@ object HandEval {
         Gold("Advanced Robotics Materials KK",
           off("org:city_of_headquarters"), "Osaka"))),
     // --- multi-fact and harder pages ---
-    ("Two lives, one obituary: born in Dublin, the author Frances " +
+    // r6 advice fix: the page text named "Frances Murphy" while all four
+    // golds name "Evelyn Murphy" ("Frances" is not even in the gazetteer
+    // first-name inventory), so these golds were unextractable by
+    // construction and the measured recall floor partly reflected a typo
+    ("Two lives, one obituary: born in Dublin, the author Evelyn " +
       "Murphy died in Dublin on May 9, 2015.",
       Seq(Gold("Evelyn Murphy", off("per:city_of_birth"), "Dublin"),
         Gold("Evelyn Murphy", "per:title", "author"),

@@ -20,6 +20,16 @@ import graft.io.TableIO
  */
 object StreamIngest {
 
+  /** Per-stream redo telemetry, keyed by the recrawl loop's root dir:
+   *  urls re-annotated (status new/changed) by that loop's LAST
+   *  incremental batch. Replaces the process-global
+   *  KGPipeline.lastIncrementalRedo for streaming callers — two
+   *  interleaved loops no longer race on one slot. */
+  private val redoCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def lastRedoCount(root: String): Option[Long] =
+    Option(redoCounts.get(root))
+
   /** pages stream -> scored per-mention fills (stateless transforms only). */
   def fillsStream(spark: SparkSession, pages: Dataset[Page]): Dataset[SlotFill] =
     KGPipeline.mentionFills(spark, KGPipeline.sentences(spark, pages))
@@ -159,7 +169,11 @@ object StreamIngest {
           KGPipeline.mentionFills(s, KGPipeline.sentences(s, pages)))
         fills.write.mode("overwrite").parquet(s"$dir/fills_raw")
         incr.foreach { h =>
-          KGPipeline.lastIncrementalRedo = h.redoCount // telemetry
+          // per-stream telemetry keyed by the loop's root dir (r6 advice
+          // fix: the process-global KGPipeline.lastIncrementalRedo raced
+          // when two recrawl loops interleaved in one session — one
+          // loop's redo count could be reported as the other's)
+          redoCounts.put(root, h.redoCount)
           h.release()
         }
         val raw = s.read.parquet(s"$dir/fills_raw").as[SlotFill]

@@ -177,7 +177,9 @@ class PipelineE2ESpec extends AnyFunSuite {
     // ~50 pages written by hand (fixtures.HandEval) — appositions,
     // participial openings, subordinate clauses the generator never
     // produces. Floors pin the MEASURED score (P=0.94, R=0.82 at the
-    // round-5 state), not a target: raising them requires real
+    // round-5 state; R=0.85 after the r6 fixture-typo fix — the
+    // "Frances/Evelyn Murphy" page carried golds unextractable by
+    // construction), not a target: raising them requires real
     // generalization gains, and regressions below them are real losses.
     // The residual FNs/FPs are documented generalization gaps (e.g.
     // cross-clause death/residence attribution, apposition attachment).

@@ -92,8 +92,8 @@ class StreamingSpec extends AnyFunSuite {
     new java.io.File(junk, "_COMMITTED").createNewFile()
     val q = StreamIngest.recrawlLoop(spark, stream, root)
     q.awaitTermination()
-    assert(KGPipeline.lastIncrementalRedo == 25L,
-      s"redo=${KGPipeline.lastIncrementalRedo}")
+    assert(StreamIngest.lastRedoCount(root).contains(25L),
+      s"redo=${StreamIngest.lastRedoCount(root)}")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("subj"), r.getAs[String]("pred"),
         r.getAs[String]("obj"))
