@@ -266,14 +266,35 @@ object Scorer {
     }
   }
 
+  /** (entityType, slotType) -> the relations that gate pair: the 41-meta
+   *  walk with two set probes ran per candidate though its result is a
+   *  function of the tiny type-pair domain (r6, guide §1.2 step 2). */
+  private val typedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[graft.model.RelationMeta]]()
+  private def typedFor(subjType: String, objType: String): Array[graft.model.RelationMeta] = {
+    val k = (subjType, objType)
+    val hit = typedMemo.get(k)
+    if (hit != null) hit
+    else {
+      val v = Relations.all.filter(m =>
+        m.entityType == subjType && m.validSlotTypes.contains(objType)).toArray
+      typedMemo.put(k, v)
+      v
+    }
+  }
+
   /** Score one candidate mention: pattern hits at 1.0, plus LR labels with
    *  p > threshold (type-gated), then the between-window pass. */
   def score(c: Candidate): Seq[(String, Double)] = {
-    val ruleHits = c.features.iterator.filter(_.startsWith("rule="))
-      .map(_.substring("rule=".length)).toSet
-    val typed = Relations.all.iterator.filter { m =>
-      m.entityType == c.subj_type && m.validSlotTypes.contains(c.obj_type)
+    // rule features are appended at the tail of the feature list and are
+    // 0-2 per candidate: a tiny vector + linear contains beats a Set build
+    val ruleHits: IndexedSeq[String] = {
+      val b = Vector.newBuilder[String]
+      c.features.foreach(f =>
+        if (f.startsWith("rule=")) b += f.substring("rule=".length))
+      b.result()
     }
+    val typed = typedFor(c.subj_type, c.obj_type).iterator
     val acc = inverted match {
       case Some(ix) =>
         val a = new Array[Double](ix.nRels)
