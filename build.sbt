@@ -40,5 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+AlwaysPreTouch",
+  // r6 (guide §2.2 "let AQE coalesce small partitions"): allow AQE to
+  // re-plan CACHED plan fragments too, including their output
+  // partitioning. The linker persists its alias-pair table (consumed by
+  // count + collect); without this flag the cached plan's final shuffle
+  // is exempt from AQE coalescing and keeps all spark.sql.shuffle
+  // .partitions tasks even when the pair table is tiny or empty —
+  // measured as a fixed ~0.15 s 32-empty-task stage inside every
+  // kg_pipeline run at bench scale. Scale-independent: at real pair
+  // volumes AQE coalesces to advisoryPartitionSizeInBytes instead of
+  // dropping to one task, which is the production-correct layout.
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq ++ Seq(
 )

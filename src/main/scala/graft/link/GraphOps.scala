@@ -215,9 +215,14 @@ object GraphOps {
    *  references round N's plan multiple times stay O(1) in plan size
    *  instead of exponential. (The RDD lineage underneath is a shared DAG
    *  of objects — it cannot blow up the planner.) Unlike localCheckpoint
-   *  this keeps persist/unpersist fully caller-controlled. */
+   *  this keeps persist/unpersist fully caller-controlled.
+   *  r6 (guide §1.2 step 2): routed through GraftSqlShim.planBarrier —
+   *  the old `spark.createDataFrame(df.rdd, df.schema)` deserialized
+   *  every row to an external boxed Row and re-encoded it, a double
+   *  conversion paid once per persisted working set per CC/closure/BFS
+   *  round; the shim re-wraps the InternalRow RDD directly. */
   private def planBarrier(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.graft.GraftSqlShim.planBarrier(df)
 
   /** Per-node triangle counts + degrees over an undirected simple graph
    *  (edges as (src, dst) in either direction; self-loops and duplicate /

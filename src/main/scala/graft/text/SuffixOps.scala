@@ -61,54 +61,107 @@ object SuffixOps {
       .select($"doc_id", $"pos".cast("long").as("off"), $"col".as("c"))
     val charRanks = denseIds(chars.select($"c").distinct(), Seq("c"))
       .withColumnRenamed("_id", "rank")
-    var cur = chars.join(charRanks, Seq("c")).drop("c").persist()
-    cur.count()
+    var cur = chars.join(charRanks, Seq("c")).drop("c")
+      .select($"doc_id", $"off", $"rank").persist()
+    var curCache = cur // the materialized table backing `cur`
+    val n = cur.count()
+    // scale-adaptive round parallelism (r6, guide §2.2): target ~128k
+    // position rows (~4 MB) per sort task, capped by the cluster's
+    // shuffle-partition knob — a tiny corpus does not pay 32-task rounds
+    // and a large one is not AQE-coalesced onto one sorting task (the
+    // explicit count keeps AQE from coalescing a data-sized sort).
+    val nPart = math.min(
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+      math.max(1, (n / 131072L).toInt + 1))
     var k = 1L
-    while (k < maxLen) {
+    var allDistinct = n == 0L
+    // r6 round rewrite (guide §1.2 step 1 / §2.4; stage probe: each round
+    // recomputed the partner join ~4x — distinct + range-sample + join-back
+    // — plus a full external-Row barrier round trip; 33.8 s for q81).
+    // Each round is now: ONE partner equi-join (shuffled-hash hint: both
+    // sides are the same cached table, no sort needed), ONE range
+    // shuffle of the paired rows sorted in-partition, materialized once,
+    // and the new DENSE rank read off it by a per-partition scan with
+    // broadcast offsets (pass 1 counts distinct (r1,r2) per partition —
+    // one tiny row per partition). Dense every round, so the final
+    // densify pass disappears, and ranks are DETERMINISTIC given the
+    // materialized sort (no monotonically_increasing_id), which also
+    // kills the old recompute-divergence hazard. Early exit: once every
+    // rank is unique (nDistinct == n) further rounds cannot change the
+    // order — skip them (text with short repeats needs ~log2(longest
+    // repeat) rounds, not log2(maxDocLen)).
+    while (k < maxLen && !allDistinct) {
       val right = cur.select($"doc_id", ($"off" - k).as("off"),
         $"rank".as("r2"))
       // partner rank at off+k; a suffix shorter than 2k has none → −1,
       // below every real rank, so a proper prefix stays strictly before
       // its extensions — exactly string order
       val paired = cur.select($"doc_id", $"off", $"rank".as("r1"))
-        .join(right, Seq("doc_id", "off"), "left")
+        .join(right.hint("shuffle_hash"), Seq("doc_id", "off"), "left")
         .na.fill(-1L, Seq("r2"))
-      val ids = paired.select($"r1", $"r2").distinct()
-        .repartitionByRange($"r1", $"r2")
-        .sortWithinPartitions($"r1", $"r2")
-        .withColumn("_nr", monotonically_increasing_id())
-      // plan barrier + persist per round (the GraphOps CC pattern): the
-      // round's plan references `cur` four times, so with persist alone
-      // the CATALYST PLAN re-nests ~4x per round — exponential growth
-      // that OOMs the AQE explain-string builder long before the data
-      // is big. The barrier truncates the plan; persist+count
-      // materializes the mono-id ranks ONCE (a recomputation would
-      // regenerate different ids) before the parent is released.
-      val next = planBarrier(spark, paired.join(ids, Seq("r1", "r2"))
-        .select($"doc_id", $"off", $"_nr".as("rank")))
+        .select($"doc_id", $"off", $"r1", $"r2")
+      // one range shuffle, sorted in partition; explicit partition count
+      // (a data-sized sort must not be AQE-coalesced onto one task).
+      // planBarrier keeps the per-round Catalyst plan O(1) — with persist
+      // alone the plan tree re-nests per round and the AQE explain-string
+      // builder OOMs long before the data is big.
+      val sorted = org.apache.spark.sql.graft.GraftSqlShim.planBarrier(
+        paired.repartitionByRange(nPart, $"r1", $"r2")
+          .sortWithinPartitions($"r1", $"r2"))
         .persist()
-      next.count()
-      cur.unpersist()
+      sorted.count()
+      // pass 1: distinct (r1,r2) per partition — range partitioning puts
+      // every (r1,r2) group wholly inside one partition, so these counts
+      // compose into exact global dense-rank offsets
+      val partCounts = sorted.select($"r1", $"r2").as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var nD = 0L
+          var pr1 = 0L
+          var pr2 = 0L
+          var first = true
+          it.foreach { case (r1, r2) =>
+            if (first || r1 != pr1 || r2 != pr2) {
+              nD += 1; first = false; pr1 = r1; pr2 = r2
+            }
+          }
+          Iterator.single((pid, nD))
+        }.collect()
+      val nDistinct = partCounts.map(_._2).sum
+      val base = new Array[Long](partCounts.map(_._1).max + 1)
+      partCounts.sortBy(_._1).foldLeft(0L) { case (acc, (pid, c)) =>
+        base(pid) = acc; acc + c
+      }
+      val baseB = spark.sparkContext.broadcast(base)
+      // pass 2: assign dense ranks 1..nDistinct in sorted order — a
+      // deterministic narrow map over the materialized sort
+      val next = sorted.as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var rank = baseB.value(pid)
+          var pr1 = 0L
+          var pr2 = 0L
+          var first = true
+          it.map { case (d, o, r1, r2) =>
+            if (first || r1 != pr1 || r2 != pr2) {
+              rank += 1; first = false; pr1 = r1; pr2 = r2
+            }
+            (d, o, rank)
+          }
+        }.toDF("doc_id", "off", "rank")
+      curCache.unpersist()
       cur = next
+      curCache = sorted
+      allDistinct = nDistinct == n
       k *= 2
     }
-    // densify once: ranks -> 1..m preserving order and equality.
-    // localCheckpoint MATERIALIZES the result before cur is unpersisted:
-    // the mid-flight ranks are monotonically_increasing_id values, which
-    // a recomputation would regenerate differently — the join sides must
-    // never observe two different recomputations (the bug the banana
-    // spec caught: unpersist-before-materialize lost 5 of 6 rows).
-    val dense = denseIds(cur.select($"rank").distinct(), Seq("rank"))
-    val out = cur.join(dense, Seq("rank"))
-      .select($"doc_id", $"off", $"_id".as("rank"))
-      .localCheckpoint(true)
-    cur.unpersist()
+    // ranks are dense 1..m after every round (and after round 0: denseIds
+    // already hands out 1..|alphabet|) — no final densify. Materialize
+    // the result BEFORE releasing the cache backing it.
+    val out = cur.localCheckpoint(true)
+    curCache.unpersist()
     out
   }
-
-  /** Catalyst-plan barrier: same data, fresh plan (see GraphOps). */
-  private def planBarrier(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.createDataFrame(df.rdd, df.schema)
 
   /** Dense order-preserving ids 1..m for a DISTINCT-row frame: sort by
    *  `cols` (range partition, so the order is global) and zipWithIndex —
@@ -190,41 +243,64 @@ object SuffixOps {
                      textCol: String = "text"): DataFrame = {
     import spark.implicits._
     val ranks = suffixRanks(spark, docs, textCol)
-    val withSuffix = ranks
-      .join(docs.select(col("doc_id"), col(textCol).as("_t")), Seq("doc_id"))
-      .select($"rank",
-        substring(expr("substring(_t, off + 1)"), 1, capChars).as("sfx"))
-    val parts = withSuffix.repartitionByRange($"rank")
+    // r6 (guide §2.3 "shuffle keys and metadata instead of payloads" /
+    // §8): the former plan joined every position to its doc text, built
+    // the capped suffix STRING, and range-shuffled those strings (118 MB
+    // at sf0.1 vs 36 MB of narrow rows); then an O(cap^2) higher-order
+    // LCP burned 281 task-CPU-seconds. Now the range shuffle carries
+    // only (rank, doc_id, off); adjacent pairs stay narrow
+    // (a_doc, a_off, b_doc, b_off); the doc texts are re-attached AFTER
+    // pairing by two equi-joins the planner is free to broadcast (the
+    // docs table is tiny next to the position table; at scale AQE
+    // degrades them to shuffle joins gracefully); and the LCP is the
+    // native one-pass kernel `suffix_lcp` (functions/LcpExpression.scala)
+    // computed straight off (text, off) — the capped suffix string is
+    // never materialized anywhere.
+    val parts = ranks.repartitionByRange($"rank")
       .sortWithinPartitions($"rank")
       .withColumn("_p", spark_partition_id())
-    val inPart = parts.select($"rank", $"sfx", $"_p")
-      .as[(Long, String, Int)]
+    val inPart = parts.select($"rank", $"doc_id", $"off", $"_p")
+      .as[(Long, Long, Long, Int)]
       .mapPartitions { it =>
-        var prev: String = null
-        it.map { case (_, s, _) =>
-          val pair = (prev, s)
-          prev = s
+        var pd = 0L
+        var po = 0L
+        var first = true
+        it.map { case (_, d, o, _) =>
+          val pair = (pd, po, d, o, first)
+          pd = d; po = o; first = false
           pair
-        }.filter(_._1 != null)
-      }.toDF("a", "b")
+        }.filter(!_._5)
+      }.map(p => (p._1, p._2, p._3, p._4))
+      .toDF("a_doc", "a_off", "b_doc", "b_off")
     // boundary pairs: last suffix of partition p with the first of the
     // NEXT NON-EMPTY partition — lead() over the per-partition extremes
+    // (ranks tie only between EQUAL suffix strings, so any occurrence is
+    // a valid representative for pairing)
     val extremes = parts.groupBy($"_p").agg(
-      min(struct($"rank", $"sfx")).as("f"), max(struct($"rank", $"sfx")).as("l"))
+      min(struct($"rank", $"doc_id", $"off")).as("f"),
+      max(struct($"rank", $"doc_id", $"off")).as("l"))
     val w = Window.orderBy($"_p") // bounded: one row per partition
     val bounds = extremes
       .withColumn("_nf", lead($"f", 1).over(w))
       .filter($"_nf".isNotNull)
-      .select($"l.sfx".as("a"), $"_nf.sfx".as("b"))
+      .select($"l.doc_id".as("a_doc"), $"l.off".as("a_off"),
+        $"_nf.doc_id".as("b_doc"), $"_nf.off".as("b_off"))
     val pairs = inPart.unionByName(bounds)
-    // capped LCP: prefix equality is monotone in the length, so the
-    // count of prefix-equal lengths IS the LCP
-    val lcp = expr(
-      """size(filter(sequence(1, greatest(least(length(a), length(b)), 1)),
-          i -> substring(a, 1, i) = substring(b, 1, i)))""")
-    pairs.select($"a", lcp.as("l"))
+    val docTexts = docs.select(col("doc_id"), col(textCol).as("_t"))
+    val withTexts = pairs
+      .join(docTexts.withColumnRenamed("doc_id", "a_doc")
+        .withColumnRenamed("_t", "_ta"), Seq("a_doc"))
+      .join(docTexts.withColumnRenamed("doc_id", "b_doc")
+        .withColumnRenamed("_t", "_tb"), Seq("b_doc"))
+    // capped LCP in code points — the native kernel twin of
+    // size(filter(sequence(1, L), i -> substring(a,1,i) = substring(b,1,i)))
+    // over the capped suffixes (SuffixSpec pins equality on unicode)
+    withTexts
+      .select($"_ta", $"a_off",
+        graft.functions.lcp.suffixLcp($"_ta", $"a_off", $"_tb", $"b_off",
+          capChars).as("l"))
       .filter($"l" >= 2)
-      .select(expr("substring(a, 1, l)").as("span"),
+      .select(expr("substring(_ta, a_off + 1, l)").as("span"),
         $"l".cast("long").as("lcp"))
       .groupBy($"span", $"lcp").agg(count(lit(1)).as("n_pairs"))
       .orderBy($"lcp".desc, $"span").limit(k)
