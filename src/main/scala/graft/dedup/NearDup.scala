@@ -192,6 +192,10 @@ object NearDup {
     // stream and a full hash aggregate just to fold it straight back to
     // one row per doc; the whole explode+aggregate stage disappears and
     // the signature job is a single narrow scan projection.
+    // r6: measured both ways at sf0.1 — Par.spread here REGRESSED q19
+    // (0.54 -> 0.72 s): the signature kernel is one cheap pass per doc
+    // and the extra exchange costs more than the single-task scan does;
+    // the explode-heavy SuffixOps generators are where spread pays.
     val m = docs
       .select($"doc_id",
         graft.functions.text.minhashHalves(array_distinct(unit)).as("_h"))

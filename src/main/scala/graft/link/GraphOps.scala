@@ -178,12 +178,16 @@ object GraphOps {
           .select(greatest($"x", $"y").as("u"), least($"x", $"y").as("v"))
           .distinct()).persist()
       // fixpoint test: next == e as sets (both distinct) — equal counts
-      // plus an empty one-way anti-join
+      // plus an empty one-way anti-join. r6 (guide §1.2 step 2): the
+      // anti-join job is only worth running when the counts already
+      // agree — && short-circuits it away on every non-final round
+      // (one fewer action per round; the loop is job-count-bound at
+      // small scale)
       val nextCount = next.count()
-      val diff = next.join(e, Seq("u", "v"), "left_anti").count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").count() == 0L
       large.unpersist()
       e.unpersist()
-      converged = nextCount == eCount && diff == 0L
       e = next
       eCount = nextCount
       i += 1

@@ -55,7 +55,9 @@ object SuffixOps {
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     // initial rank: dense id of the character under Spark's binary
     // UTF-8 string order (== DuckDB's collation; the alphabet is tiny)
-    val chars = docs
+    // r6 (guide §2.5): the per-character explode multiplies the input
+    // ~550x and a one-row-group table would run it on one task
+    val chars = graft.ops.Par.spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(split(col(textCol), "")))
       .filter($"col" =!= "") // split-by-empty-regex emits a trailing ""
       .select($"doc_id", $"pos".cast("long").as("off"), $"col".as("c"))
@@ -210,7 +212,11 @@ object SuffixOps {
     // the deterministic min-per-fingerprint merge). Counts are per md5 —
     // exact up to 128-bit collisions, the same contract the q19 band
     // fingerprints already rely on; the q82 oracle hash-pins equality.
-    def spans = docs
+    // r6 (guide §2.5): the span generator multiplies the input ~550x
+    // with an md5 per span; spread a degenerate few-split scan first
+    // (both passes share the one exchange via ReuseExchange)
+    val spreadDocs = graft.ops.Par.spread(docs, "doc_id")
+    def spans = spreadDocs
       .select(explode(expr(
         s"""transform(sequence(0, greatest(length($textCol) - $minLen, 0)),
             i -> substring($textCol, i + 1, $minLen))""")).as("span"))
