@@ -251,6 +251,14 @@ object Multimodal {
    *  the constant-amplitude fixture (see syntheticWav). */
   def audioQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r6: Par.spread was measured here and REVERTED — the JDK codec
+    // entry points these queries deliberately exercise (AudioSystem /
+    // ImageIO service lookup) synchronize on process-global registries,
+    // so 32 concurrent decode tasks queue on the lock instead of
+    // running: q36 0.47 -> 1.76 s, stage metrics 42.5 task-s wall vs
+    // 1.9 task-s CPU. Single-task decode is the fastest shape the
+    // declared JDK-codec fallback admits; at scale the fix is a
+    // lock-free codec library, not partitioning.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (id, text) =>
@@ -380,6 +388,14 @@ object Multimodal {
    *  are md5 bytes hitting the bad-magic fallback. */
   def videoQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r6: Par.spread was measured here and REVERTED — the JDK codec
+    // entry points these queries deliberately exercise (AudioSystem /
+    // ImageIO service lookup) synchronize on process-global registries,
+    // so 32 concurrent decode tasks queue on the lock instead of
+    // running: q36 0.47 -> 1.76 s, stage metrics 42.5 task-s wall vs
+    // 1.9 task-s CPU. Single-task decode is the fastest shape the
+    // declared JDK-codec fallback admits; at scale the fix is a
+    // lock-free codec library, not partitioning.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (id, text) =>
@@ -408,6 +424,14 @@ object Multimodal {
    *  exercising the byte-histogram fallback with decoded=false. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r6: Par.spread was measured here and REVERTED — the JDK codec
+    // entry points these queries deliberately exercise (AudioSystem /
+    // ImageIO service lookup) synchronize on process-global registries,
+    // so 32 concurrent decode tasks queue on the lock instead of
+    // running: q36 0.47 -> 1.76 s, stage metrics 42.5 task-s wall vs
+    // 1.9 task-s CPU. Single-task decode is the fastest shape the
+    // declared JDK-codec fallback admits; at scale the fix is a
+    // lock-free codec library, not partitioning.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (id, text) =>
