@@ -120,4 +120,78 @@ class SuffixSpec extends AnyFunSuite {
     val blank = Seq((0L, ""), (1L, "")).toDF("doc_id", "text")
     assert(SuffixOps.suffixRanks(spark, blank).count() == 0L)
   }
+
+  // r6: the native suffix_lcp kernel (functions/LcpExpression.scala)
+  // replaced the O(cap^2) higher-order LCP; these pin its code-point
+  // semantics (Spark's substring "character" = code point, NOT Java
+  // char) on multi-byte text, kernel-level and end-to-end.
+  test("suffix LCP kernel: code-point semantics on multi-byte text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference: LCP over code-point arrays (what the HOF form computed
+    // via substring equality), capped
+    def ref(a: String, oa: Int, b: String, ob: Int, cap: Int): Int = {
+      val ca = a.codePoints().toArray.drop(oa)
+      val cb = b.codePoints().toArray.drop(ob)
+      ca.zip(cb).take(cap).takeWhile { case (x, y) => x == y }.length
+    }
+    // 2-byte (é, ж), 3-byte (世), 4-byte/supplementary (😀, 𝕏) chars
+    val cases = Seq(
+      ("café 😀 world", 0, "café 😀 würld", 0, 200),
+      ("café 😀 world", 5, "x café 😀 world", 7, 200), // same suffix, offsets differ
+      ("жжжab", 0, "жжжac", 0, 200),
+      ("世界世界世", 0, "世界世界x", 0, 200),
+      ("𝕏𝕏𝕏", 0, "𝕏𝕏y", 0, 200),
+      ("abc", 0, "abc", 0, 2),      // cap smaller than the match
+      ("abc", 2, "abc", 2, 200),    // short tails
+      ("a", 1, "a", 0, 200),        // offset past the end -> empty suffix
+      ("😀a", 0, "😀b", 0, 200))    // mismatch right after a 4-byte char
+    cases.foreach { case (a, oa, b, ob, cap) =>
+      val got = graft.functions.LcpKernel.lcpAt(
+        UTF8String.fromString(a), oa.toLong,
+        UTF8String.fromString(b), ob.toLong, cap)
+      assert(got == ref(a, oa, b, ob, cap),
+        s"lcpAt($a, $oa, $b, $ob, $cap): got $got, want ${ref(a, oa, b, ob, cap)}")
+    }
+  }
+
+  test("longest repeats: unicode corpus equals the HOF-form twin") {
+    import spark.implicits._
+    val clause = "мир 世界 😀 peace"
+    val docs = Seq(
+      (0L, s"начало $clause конец"),
+      (1L, s"$clause und mehr"),
+      (2L, s"unrelated text"),
+      (3L, s"x $clause")).toDF("doc_id", "text").repartition(5)
+    val got = SuffixOps.longestRepeats(spark, docs, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // the old HOF form over the same suffix ranks (capped at the same
+    // 200 chars): prefix equality is monotone, so the count of
+    // prefix-equal lengths IS the LCP
+    val ranks = SuffixOps.suffixRanks(spark, docs)
+    val withSuffix = ranks
+      .join(docs.select(col("doc_id"), col("text").as("_t")), Seq("doc_id"))
+      .select(col("rank"),
+        substring(expr("substring(_t, off + 1)"), 1, 200).as("sfx"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = withSuffix.sliding(2).filter(_.length == 2)
+      .map { case Array((_, a), (_, b)) => (a, b) }.toSeq
+    def lcp(a: String, b: String): Int = {
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      ca.zip(cb).takeWhile { case (x, y) => x == y }.length
+    }
+    def cpPrefix(s: String, n: Int): String = {
+      val it = s.codePoints().toArray.take(n)
+      new String(it, 0, it.length)
+    }
+    val want = pairs.map { case (a, b) => (a, lcp(a, b)) }
+      .filter(_._2 >= 2)
+      .map { case (a, l) => (cpPrefix(a, l), l.toLong) }
+      .groupBy(identity).map { case ((s, l), g) => (s, l, g.size.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(50).sorted
+    assert(got.toSeq == want,
+      s"native ${got.toList} != HOF twin ${want.toList}")
+    assert(got.exists(_._1.contains("世界")), "no unicode span surfaced")
+  }
 }
