@@ -98,10 +98,15 @@ object SuffixOps {
       // partner rank at off+k; a suffix shorter than 2k has none → −1,
       // below every real rank, so a proper prefix stays strictly before
       // its extensions — exactly string order
+      // persisted LAZILY (no extra action): repartitionByRange's sample
+      // pass is the first consumer and materializes the cache as a side
+      // effect, so the join executes once per round instead of twice
+      // (sample + shuffle); dropped as soon as `sorted` is materialized
       val paired = cur.select($"doc_id", $"off", $"rank".as("r1"))
         .join(right.hint("shuffle_hash"), Seq("doc_id", "off"), "left")
         .na.fill(-1L, Seq("r2"))
         .select($"doc_id", $"off", $"r1", $"r2")
+        .persist()
       // one range shuffle, sorted in partition; explicit partition count
       // (a data-sized sort must not be AQE-coalesced onto one task).
       // planBarrier keeps the per-round Catalyst plan O(1) — with persist
@@ -112,6 +117,7 @@ object SuffixOps {
           .sortWithinPartitions($"r1", $"r2"))
         .persist()
       sorted.count()
+      paired.unpersist()
       // pass 1: distinct (r1,r2) per partition — range partitioning puts
       // every (r1,r2) group wholly inside one partition, so these counts
       // compose into exact global dense-rank offsets
