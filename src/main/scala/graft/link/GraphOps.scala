@@ -159,6 +159,8 @@ object GraphOps {
     var converged = eCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      // guide §1.5: label the alternation round's jobs (cleared below)
+      spark.sparkContext.setJobDescription(s"connectedComponents: round $i")
       // large-star over the symmetric view
       val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
       val mL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
@@ -205,10 +207,12 @@ object GraphOps {
     // the returned table's unpersist (Linker.canonicalize does so once its
     // alias table is built).
     val nonRoot = e.groupBy($"u".as("v")).agg(min($"v").as("comp"))
+    spark.sparkContext.setJobDescription("connectedComponents: labels")
     val labels = planBarrier(spark,
       verts.join(nonRoot, Seq("v"), "left")
         .select($"v", coalesce($"comp", $"v").as("comp"))).persist()
     labels.count()
+    spark.sparkContext.setJobDescription(null)
     e.unpersist(); verts.unpersist()
     labels
   }

@@ -313,7 +313,12 @@ object Linker {
     // pairs are consumed twice on the driver path (count + collect) and
     // twice on the distributed path (CC + count) — persist, drop after
     val pairsDs = aliasPairs(spark, fills).persist()
+    // guide §1.5: this action computes the whole upstream (NLP -> bags)
+    // into the fills cache plus the blocked alias-candidate pass — name
+    // it so stage listings attribute the cost correctly
+    spark.sparkContext.setJobDescription("linker: alias pairs (+fills cache)")
     val nPairs = pairsDs.count()
+    spark.sparkContext.setJobDescription(null)
     lastPairCount = nPairs
     lastDistributed = nPairs > MaxDriverAliasPairs
     // nothing to rewrite: skip the joins (the common case on a corpus whose

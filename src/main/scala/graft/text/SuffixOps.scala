@@ -93,6 +93,9 @@ object SuffixOps {
     // order — skip them (text with short repeats needs ~log2(longest
     // repeat) rounds, not log2(maxDocLen)).
     while (k < maxLen && !allDistinct) {
+      // guide §1.5: label the round's jobs so stage listings read as
+      // operators, not lambda call sites (restored after the loop)
+      spark.sparkContext.setJobDescription(s"suffixRanks: doubling k=$k")
       val right = cur.select($"doc_id", ($"off" - k).as("off"),
         $"rank".as("r2"))
       // partner rank at off+k; a suffix shorter than 2k has none → −1,
@@ -166,7 +169,9 @@ object SuffixOps {
     // ranks are dense 1..m after every round (and after round 0: denseIds
     // already hands out 1..|alphabet|) — no final densify. Materialize
     // the result BEFORE releasing the cache backing it.
+    spark.sparkContext.setJobDescription("suffixRanks: materialize ranks")
     val out = cur.localCheckpoint(true)
+    spark.sparkContext.setJobDescription(null)
     curCache.unpersist()
     out
   }
